@@ -1,0 +1,117 @@
+"""Unit tests for the pure-numpy WKB serde + predicate kernel."""
+
+import numpy as np
+import pytest
+
+from incubator_sedona_spark.geom import wkb as W
+from incubator_sedona_spark.geom import kernel as K
+
+
+def test_wkb_point_roundtrip():
+    g = W.point(1.5, -2.25)
+    assert W.loads(W.dumps(g)).vertices().tolist() == [[1.5, -2.25]]
+    assert W.dumps(g)[0] == 1 and len(W.dumps(g)) == 21
+
+
+def test_wkb_polygon_roundtrip_with_hole():
+    g = W.polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]],
+    )
+    g2 = W.loads(W.dumps(g))
+    assert g2.kind == W.POLYGON and len(g2.parts) == 2
+    assert g2.bounds == (0, 0, 10, 10)
+
+
+def test_wkb_multipolygon_and_linestring():
+    mp = W.multi(W.MULTIPOLYGON, [W.box(0, 0, 1, 1), W.box(5, 5, 6, 6)])
+    g2 = W.loads(W.dumps(mp))
+    assert g2.kind == W.MULTIPOLYGON and g2.bounds == (0, 0, 6, 6)
+    ls = W.linestring([(0, 0), (1, 1), (2, 0)])
+    assert W.loads(W.dumps(ls)).edges().shape == (2, 4)
+
+
+def test_vectorized_point_paths():
+    x = np.array([0.0, 1.5, -3.25])
+    y = np.array([2.0, -1.0, 0.5])
+    bufs = W.points_to_wkb(x, y)
+    pts = W.wkb_to_points(bufs)
+    assert np.allclose(pts, np.column_stack([x, y]))
+    bb = W.bounds_batch(bufs)
+    assert np.allclose(bb[:, 0], x) and np.allclose(bb[:, 3], y)
+
+
+def test_point_in_polygon_basic():
+    poly = W.box(0, 0, 10, 10)
+    pts = np.array([[5, 5], [10, 5], [0, 0], [11, 5], [-1, -1]])
+    inside, bnd = K.point_in_polygon(poly, pts)
+    assert inside.tolist() == [True, False, False, False, False]
+    assert bnd.tolist() == [False, True, True, False, False]
+
+
+def test_point_in_polygon_hole():
+    poly = W.polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]],
+    )
+    inside, bnd = K.point_in_polygon(poly, np.array([[5, 5], [3, 3], [4, 5]]))
+    assert inside.tolist() == [False, True, False]
+    assert bnd.tolist() == [False, False, True]
+
+
+@pytest.mark.parametrize(
+    "name,a,b,expected",
+    [
+        ("contains", W.box(0, 0, 10, 10), W.point(5, 5), True),
+        ("contains", W.box(0, 0, 10, 10), W.point(10, 10), False),  # boundary: JTS contains=False
+        ("covers", W.box(0, 0, 10, 10), W.point(10, 10), True),
+        ("intersects", W.box(0, 0, 10, 10), W.point(10, 10), True),
+        ("intersects", W.box(0, 0, 5, 5), W.box(5, 5, 9, 9), True),  # corner touch
+        ("intersects", W.box(0, 0, 5, 5), W.box(6, 6, 9, 9), False),
+        ("touches", W.box(0, 0, 5, 5), W.box(5, 0, 9, 5), True),
+        ("touches", W.box(0, 0, 5, 5), W.box(4, 0, 9, 5), False),
+        ("contains", W.box(0, 0, 10, 10), W.box(2, 2, 4, 4), True),
+        ("contains", W.box(0, 0, 10, 10), W.box(2, 2, 14, 4), False),
+        ("covers", W.box(0, 0, 10, 10), W.box(0, 0, 10, 10), True),
+        ("within", W.box(2, 2, 4, 4), W.box(0, 0, 10, 10), True),
+        ("equals", W.box(1, 1, 2, 2), W.box(1, 1, 2, 2), True),
+        ("equals", W.box(1, 1, 2, 2), W.box(1, 1, 2, 3), False),
+        ("overlaps", W.box(0, 0, 5, 5), W.box(3, 3, 8, 8), True),
+        ("overlaps", W.box(0, 0, 5, 5), W.box(1, 1, 2, 2), False),  # contained, not overlap
+        ("disjoint", W.box(0, 0, 1, 1), W.box(2, 2, 3, 3), True),
+        ("crosses", W.linestring([(-1, 5), (11, 5)]), W.box(0, 0, 10, 10), True),
+        ("crosses", W.linestring([(0, 0), (1, 1)]), W.linestring([(0, 1), (1, 0)]), True),
+        ("intersects", W.linestring([(0, 0), (2, 2)]), W.linestring([(2, 2), (3, 0)]), True),
+        (
+            "contains",
+            W.polygon([(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]]),
+            W.point(5, 5),
+            False,  # inside the hole
+        ),
+    ],
+)
+def test_predicate_pairs(name, a, b, expected):
+    assert K.predicate_pair(name, a, b) is bool(expected) or K.predicate_pair(name, a, b) == expected
+
+
+def test_distance_pair():
+    assert K.distance_pair(W.point(0, 0), W.point(3, 4)) == pytest.approx(5.0)
+    assert K.distance_pair(W.point(5, 5), W.box(0, 0, 10, 10)) == 0.0
+    assert K.distance_pair(W.point(12, 5), W.box(0, 0, 10, 10)) == pytest.approx(2.0)
+    assert K.distance_pair(W.box(0, 0, 1, 1), W.box(4, 1, 5, 2)) == pytest.approx(3.0)
+
+
+def test_eval_predicate_batch_poly_vs_points():
+    poly1, poly2 = W.dumps(W.box(0, 0, 10, 10)), W.dumps(W.box(20, 20, 30, 30))
+    pts = W.points_to_wkb(np.array([5.0, 25.0, 15.0]), np.array([5.0, 25.0, 15.0]))
+    got = K.eval_predicate_batch("contains", [poly1, poly2, poly1], pts)
+    assert got.tolist() == [True, True, False]
+    # inverse orientation: point within polygon
+    got = K.eval_predicate_batch("within", pts, [poly1, poly2, poly1])
+    assert got.tolist() == [True, True, False]
+
+
+def test_distance_batch_points():
+    l = W.points_to_wkb(np.array([0.0, 0.0]), np.array([0.0, 0.0]))
+    r = W.points_to_wkb(np.array([3.0, 1.0]), np.array([4.0, 0.0]))
+    assert np.allclose(K.distance_batch(l, r), [5.0, 1.0])
