@@ -1,0 +1,146 @@
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: the sandbox form of the N->4N executor rule (BASELINE.md): runs the
+flagship spatial-join + tiling pipeline at local[8] and local[32] on identical
+input and reports throughput at both plus scaling efficiency E = T(4N)/(4*T(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_sedona_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_IMAGES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_benchdata", "images_20k.parquet")
+N_IMAGES = 20_000
+
+
+def _ensure_images(spark):
+    if not os.path.exists(os.path.join(BENCH_IMAGES, "_SUCCESS")):
+        from incubator_sedona_spark.sources.datagen import write_images_table
+
+        write_images_table(spark, BENCH_IMAGES, N_IMAGES, partitions=CPUS)
+    return spark.read.parquet(BENCH_IMAGES)
+
+
+def flagship_images_pipeline(spark):
+    """images -> derived points (native bit math) -> PIP join vs zones ->
+    tile assignment -> per-(zone, tile) counts.  The north-star pipeline."""
+    import __spark_entry__ as E
+    from incubator_sedona_spark.cells import Grid
+    from incubator_sedona_spark.operators.joins import spatial_join
+    from incubator_sedona_spark.operators.tiling import assign_tiles
+    from incubator_sedona_spark.functions.st import st_point
+    from incubator_sedona_spark.sources.datagen import zones_df
+    from incubator_sedona_spark.sources.images import with_derived_points
+
+    imgs = _ensure_images(spark)
+    pts = with_derived_points(imgs).select(
+        "image_id", "lon", "lat"
+    )
+    pts = pts.withColumn("wkb", st_point(F.col("lon"), F.col("lat")))
+    zones = zones_df(spark)
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 5)
+    j = spatial_join(
+        zones.select("zone_id", "wkb"), pts.select("image_id", "lon", "lat", "wkb"),
+        "contains", grid=grid,
+    )
+    tiled = assign_tiles(j, "lon", "lat", (0.0, 0.0, 100.0, 100.0), 256, 256)
+    return tiled.groupBy("zone_id", "tile_x", "tile_y").agg(F.count("*").alias("cnt"))
+
+
+def run_default():
+    spark = get_spark(app_name="iss-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    import __spark_entry__ as E
+
+    n_images = _ensure_images(spark).count()  # generate outside the timed region
+
+    bench_queries = [
+        "pip_join_pairs",
+        "pip_count_by_zone",
+        "distance_join_pairs",
+        "knn_join",
+        "tile_assign",
+        "polygon_dedup_join",
+        "tpch_q1",
+        "tpch_q3_top10",
+        "doc_token_stats",
+        "doc_fingerprint",
+        "minhash_pairs",
+        "ann_topk",
+    ]
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    res = flagship_images_pipeline(spark)
+    res.count()
+    flagship_sec = round(time.time() - t0, 3)
+    times["flagship_join_tiling"] = flagship_sec
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "spatial_join_tiling_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "images_per_sec": round(n_images / flagship_sec, 1) if flagship_sec else None,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_scaling(n_low: int = 8, n_high: int = 32):
+    """Two-parallelism scaling evidence (BASELINE.md protocol)."""
+    results = {}
+    for n in (n_low, n_high):
+        spark = get_spark(
+            app_name=f"iss-scale-{n}", master=f"local[{n}]", shuffle_partitions=n
+        )
+        _ensure_images(spark)
+        # warm up python workers / JIT outside the timed region
+        flagship_images_pipeline(spark).count()
+        t0 = time.time()
+        flagship_images_pipeline(spark).count()
+        dt = time.time() - t0
+        results[n] = {"sec": round(dt, 3), "images_per_sec": round(N_IMAGES / dt, 1)}
+        spark.stop()
+    ratio = n_high / n_low
+    eff = results[n_high]["images_per_sec"] / (ratio * results[n_low]["images_per_sec"])
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": {"cores": n_low, **results[n_low]},
+        "high": {"cores": n_high, **results[n_high]},
+        "target": 0.8,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

@@ -65,6 +65,7 @@ def knn_join(
     max_rounds: int = 6,
     dist_col: str = "knn_dist",
     rank_col: str = "knn_rank",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left point, its k nearest right points (both sides point data).
 
@@ -129,7 +130,8 @@ def knn_join(
                 + F.pow(F.col("__ly") - F.col(right_y), 2)
             ),
         )
-        w = Window.partitionBy(left_id).orderBy(F.col(dist_col).asc())
+        order = [F.col(dist_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+        w = Window.partitionBy(left_id).orderBy(*order)
         topk = cand.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
         if final_round:

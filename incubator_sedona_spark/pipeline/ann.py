@@ -12,7 +12,9 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
 
 
 def _dot_lit(vec_col, qvec: list[float]):
@@ -68,9 +70,6 @@ def lsh_topk(
     dim = first.d if first else len(qvec)
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((num_planes, dim))
-
-    import pandas as pd
-    from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def _bucket(vecs: pd.Series) -> pd.Series:

@@ -167,14 +167,16 @@ def simhash_dup_pairs(
         id_col,
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nblocks - 1)),
-                lambda b: F.struct(
-                    b.alias("blk"),
-                    F.shiftrightunsigned(F.col("simhash"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for b in range(nblocks)
+                ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))

@@ -119,12 +119,16 @@ def decode_images_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     band-major array<double> ``data`` field (GeotiffSchema.scala:121-200).
     Arrow-batched; the decoded numpy arrays never cross row-by-row.
     """
-    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
-    schema = (
-        df.schema.add("dec_w", IntegerType())
-        .add("dec_h", IntegerType())
-        .add("pixels", ArrayType(IntegerType()))
+    # StructType.add mutates in place — build a fresh schema instead
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("dec_w", IntegerType()),
+            StructField("dec_h", IntegerType()),
+            StructField("pixels", ArrayType(IntegerType())),
+        ]
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
