@@ -95,13 +95,25 @@ def knn_join(
         grid.point_cell_col(F.col(right_x), F.col(right_y)).alias("__cell"),
     )
 
+    # adaptive initial ring: smallest R whose (2R+1)^2-cell square is expected
+    # to hold >= 2k right points (one cheap count job; on a real table this is
+    # parquet-metadata fast).  Round schedule: [R0, 8*R0, full] - bounded work,
+    # stragglers only in later rounds.
+    n_right = rp.count()
+    density = max(n_right / float(n * n), 1e-12)
+    r0 = int(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0))
+    r0 = max(1, min(r0, n))
+    schedule = [r0]
+    if 2 * r0 + 1 < n:
+        if 2 * (8 * r0) + 1 < n:
+            schedule.append(8 * r0)
+        schedule.append(n)
+
     results = None
     pending = lp.persist()
-    R = 1
-    for rnd in range(max_rounds):
-        final_round = rnd == max_rounds - 1 or (2 * R + 1) >= n
-        if final_round:
-            R = n  # search everything reachable
+    to_unpersist = []
+    for rnd, R in enumerate(schedule):
+        final_round = rnd == len(schedule) - 1
         # explode pending points to their (2R+1)^2 neighbor cells, clipped
         dxs = F.sequence(
             F.greatest(F.lit(0), F.col("__ix") - R),
@@ -132,7 +144,12 @@ def knn_join(
         )
         order = [F.col(dist_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
         w = Window.partitionBy(left_id).orderBy(*order)
-        topk = cand.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+        topk = (
+            cand.withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= k)
+            .persist()  # reused for done-id detection AND result emission
+        )
+        to_unpersist.append(topk)
 
         if final_round:
             done_rows = topk
@@ -153,29 +170,27 @@ def knn_join(
                     F.least(F.col("__ly") - rymin, rymax - F.col("__ly"))
                 ),
             )
-            stats = topk.groupBy(left_id).agg(
-                F.count("*").alias("__cnt"), F.max(dist_col).alias("__kth")
-            )
-            complete = stats.where(
-                (F.col("__cnt") == k)
-            ).select(left_id, "__kth")
-            done_flag = topk.join(complete, left_id).where(
-                F.col("__kth") <= bound
-            )
-            # a left id is done iff it has k candidates AND kth <= bound
+            # a left id is done iff it has k candidates AND its kth dist <= bound
             done_ids = (
-                done_flag.groupBy(left_id).agg(F.count("*").alias("__n")).where(F.col("__n") >= k)
-            ).select(left_id)
+                topk.withColumn("__bound", bound)
+                .groupBy(left_id)
+                .agg(
+                    F.count("*").alias("__cnt"),
+                    F.max(dist_col).alias("__kth"),
+                    F.min("__bound").alias("__b"),
+                )
+                .where((F.col("__cnt") == k) & (F.col("__kth") <= F.col("__b")))
+                .select(left_id)
+            )
             done_rows = topk.join(done_ids, left_id, "left_semi")
             pending_next = pending.join(done_ids, left_id, "left_anti").persist()
+            to_unpersist.append(pending_next)
 
-        done_rows = done_rows.drop("__cell", "__ix", "__iy", "__kth")
+        done_rows = done_rows.drop("__cell", "__ix", "__iy")
         results = done_rows if results is None else results.unionByName(done_rows)
-        if pending_next is None or len(pending_next.take(1)) == 0:
-            pending = pending_next
+        if pending_next is None or pending_next.count() == 0:
             break
         pending = pending_next
-        R *= 2
 
     out = results.withColumnRenamed("__lx", left_x + "_l").withColumnRenamed(
         "__ly", left_y + "_l"
