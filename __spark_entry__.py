@@ -98,9 +98,10 @@ def q_pip_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
     j = spatial_join(
         zones.select("n_nationkey", "wkb"),
-        pts.select("o_orderkey", "wkb"),
+        pts.select("o_orderkey", "x", "y"),
         "contains",
         grid=GRID_PTS,
+        right_point_cols=("x", "y"),  # point side: zero-UDF native plan
     )
     return j.select("n_nationkey", "o_orderkey")
 
@@ -117,10 +118,12 @@ def q_distance_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
     j = distance_join(
-        cust.select("c_custkey", "wkb"),
-        supp.select("s_suppkey", "wkb"),
+        cust.select("c_custkey", "x", "y"),
+        supp.select("s_suppkey", "x", "y"),
         5.0,
         grid=GRID_PTS,
+        left_point_cols=("x", "y"),
+        right_point_cols=("x", "y"),  # both sides points: fully native, no UDF
     )
     return j.select("c_custkey", "s_suppkey")
 

@@ -48,15 +48,12 @@ def flagship_images_pipeline(spark):
     from incubator_sedona_spark.sources.images import with_derived_points
 
     imgs = _ensure_images(spark)
-    pts = with_derived_points(imgs).select(
-        "image_id", "lon", "lat"
-    )
-    pts = pts.withColumn("wkb", st_point(F.col("lon"), F.col("lat")))
+    pts = with_derived_points(imgs).select("image_id", "lon", "lat")
     zones = zones_df(spark)
     grid = Grid(0.0, 0.0, 100.01, 100.01, 5)
     j = spatial_join(
-        zones.select("zone_id", "wkb"), pts.select("image_id", "lon", "lat", "wkb"),
-        "contains", grid=grid,
+        zones.select("zone_id", "wkb"), pts,
+        "contains", grid=grid, right_point_cols=("lon", "lat"),
     )
     tiled = assign_tiles(j, "lon", "lat", (0.0, 0.0, 100.0, 100.0), 256, 256)
     return tiled.groupBy("zone_id", "tile_x", "tile_y").agg(F.count("*").alias("cnt"))

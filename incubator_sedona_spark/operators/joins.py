@@ -148,6 +148,28 @@ def _predicate_refine_udf(predicate: str):
     return _refine
 
 
+def _predicate_refine_xy_udf(predicate: str):
+    """Refine against raw point coordinates — skips WKB for the point side."""
+
+    @F.pandas_udf(BooleanType())
+    def _refine(lw: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+        pts = np.column_stack([rx.to_numpy(np.float64), ry.to_numpy(np.float64)])
+        out = np.zeros(len(lw), dtype=bool)
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(lw):
+            groups.setdefault(b, []).append(i)
+        cache: dict[bytes, W.Geometry] = {}
+        for buf, idxs in groups.items():
+            g = cache.get(buf)
+            if g is None:
+                g = W.loads(buf)
+                cache[buf] = g
+            out[idxs] = K._eval_geom_vs_points(predicate, g, pts[idxs], point_is_left=False)
+        return pd.Series(out)
+
+    return _refine
+
+
 def _dedup_filter(grid: Grid, lp: str, rp: str) -> Column:
     """Reference-point dedup (GeomUtils.isDuplicate, GeomUtils.java:327-351).
 
@@ -205,6 +227,7 @@ def spatial_join(
     broadcast: str | None = None,
     refine: bool = True,
     keep_bbox: bool = False,
+    right_point_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Join two geometry DataFrames on a spatial predicate.
 
@@ -226,7 +249,17 @@ def spatial_join(
 
     lp, rp = "l_", "r_"
     lft = _prefixed(with_bbox(left, left_geom), lp)
-    rgt = _prefixed(with_bbox(right, right_geom), rp)
+    if right_point_cols is not None:
+        # point side with raw coordinate columns: bbox = (x, y, x, y), fully
+        # native — no pandas UDF ever touches the (big) point side
+        rx, ry = right_point_cols
+        rgt = right
+        for c, src in zip(BBOX_COLS, (rx, ry, rx, ry)):
+            if c not in rgt.columns:
+                rgt = rgt.withColumn(c, F.col(src))
+        rgt = _prefixed(rgt, rp)
+    else:
+        rgt = _prefixed(with_bbox(right, right_geom), rp)
     if grid is None:
         grid = infer_grid(
             [
@@ -252,9 +285,20 @@ def spatial_join(
     cand = le.join(re, _CELL).where(_bbox_prefilter(predicate, lp, rp))
     cand = cand.where(_dedup_filter(grid, lp, rp))
     if refine:
-        cand = cand.where(
-            _predicate_refine_udf(predicate)(F.col(lp + left_geom), F.col(rp + right_geom))
-        )
+        if right_point_cols is not None:
+            cand = cand.where(
+                _predicate_refine_xy_udf(predicate)(
+                    F.col(lp + left_geom),
+                    F.col(rp + right_point_cols[0]),
+                    F.col(rp + right_point_cols[1]),
+                )
+            )
+        else:
+            cand = cand.where(
+                _predicate_refine_udf(predicate)(
+                    F.col(lp + left_geom), F.col(rp + right_geom)
+                )
+            )
 
     drop = [_CELL]
     if not keep_bbox:
@@ -302,6 +346,8 @@ def distance_join(
     mode: str = "distance",
     include_boundary: bool = True,
     emit_distance: str | None = None,
+    left_point_cols: tuple[str, str] | None = None,
+    right_point_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Join pairs with ST_Distance(left, right) <= radius (or < if not include_boundary).
 
@@ -316,9 +362,19 @@ def distance_join(
     ST_Distance-based SQL computes.  For point-point inputs the two coincide
     and the refine is pure Catalyst arithmetic (no UDF at all).
     """
+    def _side(df: DataFrame, geom: str, pt_cols, prefix: str) -> DataFrame:
+        if pt_cols is None:
+            return _prefixed(with_bbox(df, geom), prefix)
+        x, y = pt_cols
+        out = df
+        for c, src in zip(BBOX_COLS, (x, y, x, y)):
+            if c not in out.columns:
+                out = out.withColumn(c, F.col(src))
+        return _prefixed(out, prefix)
+
     lp, rp = "l_", "r_"
-    lft = _prefixed(with_bbox(left, left_geom), lp)
-    rgt = _prefixed(with_bbox(right, right_geom), rp)
+    lft = _side(left, left_geom, left_point_cols, lp)
+    rgt = _side(right, right_geom, right_point_cols, rp)
     rad = F.lit(float(radius)) if isinstance(radius, (int, float)) else (
         F.col(lp + radius) if isinstance(radius, str) else radius
     )
@@ -392,9 +448,12 @@ def distance_join(
             F.pow(F.col(lp + "xmin") - F.col(rp + "xmin"), 2)
             + F.pow(F.col(lp + "ymin") - F.col(rp + "ymin"), 2)
         )
-        dist = F.when(l_is_pt & r_is_pt, native_dist).otherwise(
-            _distance_pair_udf()(F.col(lp + left_geom), F.col(rp + right_geom))
-        )
+        if left_point_cols is not None and right_point_cols is not None:
+            dist = native_dist  # both sides are coordinate points: zero-UDF plan
+        else:
+            dist = F.when(l_is_pt & r_is_pt, native_dist).otherwise(
+                _distance_pair_udf()(F.col(lp + left_geom), F.col(rp + right_geom))
+            )
     cand = cand.withColumn("__iss_dist", dist)
     cond = (
         F.col("__iss_dist") <= F.col("__iss_rad")
