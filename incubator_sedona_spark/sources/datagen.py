@@ -23,14 +23,21 @@ _WORDS = ("lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
 
 
 def gen_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Seeded RGB gradient + hash noise, deterministic per index."""
+    """Seeded RGB gradient + coarse random block pattern + noise.
+
+    The coarse 8x8 block pattern (amplitude +-80) dominates the phash blocks,
+    so per-image phashes — and therefore the derived (lon, lat) points — are
+    well spread instead of collapsing onto a handful of values.
+    """
     rng = np.random.default_rng(42 + i)
     gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
     gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
     chan = np.array([1.0, 0.6, 0.3])[None, None, :]
-    base = (gx * 0.5 + gy * 0.5) * chan
+    base = (gx * 0.25 + gy * 0.25) * chan
+    blocks = rng.uniform(-80, 80, size=(8, 8))
+    pat = np.kron(blocks, np.ones((max(h // 8, 1), max(w // 8, 1))))[:h, :w, None]
     noise = rng.integers(0, 32, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.clip(base + pat + 96 + noise, 0, 255).astype(np.uint8)
 
 
 def caption_for(i: int) -> str:

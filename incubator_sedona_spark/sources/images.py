@@ -143,6 +143,37 @@ def decode_images_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(_decode, schema=schema)
 
 
+def image_invariants_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode + verify per-row invariants, emitting ONLY small columns.
+
+    The scalable form of the decode stage: pixels are decoded, checked
+    (dimensions match, phash recomputed from decoded pixels), and immediately
+    reduced to scalars inside the Arrow batch — megabyte pixel payloads never
+    cross back into the JVM.  Output: image_id-side columns + (dec_ok boolean,
+    phash_rec long).
+    """
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = StructType(
+        keep + [StructField("dec_ok", BooleanType()), StructField("phash_rec", LongType())]
+    )
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, phs = [], []
+            for b, w, h in zip(pdf[bytes_col], pdf["w"], pdf["h"]):
+                pix = decode_image(b)
+                oks.append(pix.shape == (h, w, 3))
+                phs.append(phash64(pix))
+            out = pdf.drop(columns=[bytes_col])
+            out["dec_ok"] = oks
+            out["phash_rec"] = np.array(phs, dtype=np.int64)
+            yield out
+
+    return df.mapInPandas(_check, schema=schema)
+
+
 def derived_lonlat_cols(phash_col: Column) -> tuple[Column, Column]:
     """The documented phash -> (lon, lat) bijection, pure Catalyst bit math."""
     lo = phash_col.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
