@@ -96,12 +96,16 @@ def phash64(pixels: np.ndarray) -> int:
     """
     luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = luma.shape
-    ys = np.linspace(0, h, 9).astype(int)
-    xs = np.linspace(0, w, 9).astype(int)
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # fast path: uniform 8x8 blocks via reshape (all generator sizes)
+        blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (blocks > np.median(blocks)).ravel()
     val = 0
     for b in bits:
@@ -172,6 +176,76 @@ def image_invariants_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield out
 
     return df.mapInPandas(_check, schema=schema)
+
+
+def extract_features(pixels: np.ndarray) -> tuple[float, float, list[float]]:
+    """Per-image features: mean luma, Sobel-gradient-magnitude mean, 16-bin
+    luma histogram (normalized).  The multimodal 'feature-extract' stage —
+    numpy-vectorized per image, stays inside the Arrow batch."""
+    fpix = pixels.astype(np.float64)
+    luma = fpix @ np.array([0.299, 0.587, 0.114])
+    grad = 0.0
+    hist = np.zeros(16)
+    for c in range(3):  # per-channel gradients + histograms
+        ch = fpix[:, :, c]
+        if ch.shape[1] > 1:
+            grad += np.abs(np.diff(ch, axis=1)).mean()
+        if ch.shape[0] > 1:
+            grad += np.abs(np.diff(ch, axis=0)).mean()
+        h, _ = np.histogram(ch, bins=16, range=(0, 256))
+        hist += h
+    hist = (hist / max(3 * luma.size, 1)).tolist()
+    return float(luma.mean()), float(grad / 3.0), hist
+
+
+def image_features_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode + verify + feature-extract in ONE pass over the bytes column.
+
+    Emits small columns only: dec_ok, phash_rec, mean_luma, grad_mag,
+    luma_hist (array<double>, 16 bins).  One mapInPandas stage — the full
+    multimodal preprocessing step of the north-star pipeline.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = StructType(
+        keep
+        + [
+            StructField("dec_ok", BooleanType()),
+            StructField("phash_rec", LongType()),
+            StructField("mean_luma", DoubleType()),
+            StructField("grad_mag", DoubleType()),
+            StructField("luma_hist", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, phs, mls, gms, hists = [], [], [], [], []
+            for b, w, h in zip(pdf[bytes_col], pdf["w"], pdf["h"]):
+                pix = decode_image(b)
+                oks.append(pix.shape == (h, w, 3))
+                phs.append(phash64(pix))
+                ml, gm, hist = extract_features(pix)
+                mls.append(ml)
+                gms.append(gm)
+                hists.append(hist)
+            out = pdf.drop(columns=[bytes_col])
+            out["dec_ok"] = oks
+            out["phash_rec"] = np.array(phs, dtype=np.int64)
+            out["mean_luma"] = mls
+            out["grad_mag"] = gms
+            out["luma_hist"] = hists
+            yield out
+
+    return df.mapInPandas(_feat, schema=schema)
 
 
 def derived_lonlat_cols(phash_col: Column) -> tuple[Column, Column]:
