@@ -16,8 +16,10 @@ order.  Tile names follow the z-x-y convention (ST_TileName analog).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 
 def _one_axis(v: Column, lo: float, hi: float, res: int) -> Column:
@@ -91,6 +93,96 @@ def tile_counts(df_tiled: DataFrame) -> DataFrame:
     CountingAggregator.
     """
     return df_tiled.groupBy("tile_x", "tile_y").agg(F.count("*").alias("cnt"))
+
+
+def pixelize(
+    df,
+    boundary: tuple[float, float, float, float],
+    res_x: int,
+    res_y: int,
+    geom_col: str = "wkb",
+):
+    """ST_Pixelize analog (viz/.../expressions/Pixelize.scala:37-110).
+
+    Rasterizes each geometry to the pixels it touches, with exact parity to
+    the reference kernel: vertices map through FindOnePixelCoordinate
+    (RasterizationUtils.java:59-100) and segments plot via its Bresenham loop
+    (:371-452) — which advances from the first pixel while ``!= end`` (the end
+    pixel itself is contributed by the next segment), accumulating eps against
+    the dominant axis.  Points -> 1 pixel; lines/polygon rings -> edge pixels.
+
+    Output: input rows exploded to (pixel_x int, pixel_y int).
+    """
+    from incubator_sedona_spark.geom import wkb as W
+
+    minx, miny, maxx, maxy = boundary
+
+    def one(px, py):
+        return find_pixel_coordinates([px], [py], boundary, res_x, res_y)[0]
+
+    def bresenham(p1, p2):
+        x1, y1 = p1
+        x2, y2 = p2
+        dx, dy = x2 - x1, y2 - y1
+        ux = 1 if dx > 0 else -1
+        uy = 1 if dy > 0 else -1
+        dx, dy = abs(dx), abs(dy)
+        out = []
+        x, y = x1, y1
+        eps = 0
+        if dx > dy:
+            while x != x2:
+                if 0 <= x < res_x and 0 <= y < res_y:
+                    out.append((x, y))
+                eps += dy
+                if (eps << 1) >= dx:
+                    y += uy
+                    eps -= dx
+                x += ux
+        else:
+            while y != y2:
+                if 0 <= x < res_x and 0 <= y < res_y:
+                    out.append((x, y))
+                eps += dx
+                if (eps << 1) >= dy:
+                    x += ux
+                    eps -= dy
+                y += uy
+        return out
+
+    pix_type = ArrayType(
+        StructType([StructField("pixel_x", IntegerType()), StructField("pixel_y", IntegerType())])
+    )
+
+    @F.pandas_udf(pix_type)
+    def _pix(wkbs: pd.Series) -> pd.Series:
+        out = []
+        cache = {}
+        for buf in wkbs:
+            key = bytes(buf)
+            if key in cache:
+                out.append(cache[key])
+                continue
+            g = W.loads(key)
+            pixels = []
+            for leaf in g.leaves():
+                if leaf.kind == W.POINT:
+                    p = leaf.parts[0]
+                    pixels.append(one(p[0], p[1]))
+                else:
+                    rings = leaf.parts if leaf.kind == W.POLYGON else [leaf.parts]
+                    for r in rings:
+                        pts = [one(c[0], c[1]) for c in r]
+                        for a, b in zip(pts[:-1], pts[1:]):
+                            pixels.extend(bresenham(a, b))
+            cache[key] = pixels
+            out.append(pixels)
+        return pd.Series(out)
+
+    out = df.withColumn("__pix", F.explode(_pix(F.col(geom_col))))
+    return out.withColumn("pixel_x", F.col("__pix.pixel_x")).withColumn(
+        "pixel_y", F.col("__pix.pixel_y")
+    ).drop("__pix")
 
 
 def find_pixel_coordinates(

@@ -1,0 +1,113 @@
+"""Spatial storage layout + skew handling.
+
+- GeoParquet-equivalent storage (SURVEY.md §2.1/§4): instead of a forked
+  FileFormat with bbox metadata in the footer
+  (/root/reference/sql/spark-3.4/.../GeoParquetFileFormat.scala:233-287), the
+  engine stores (xmin, ymin, xmax, ymax, cell) as ordinary columns and sorts by
+  cell before writing.  Parquet's native min/max row-group stats over those
+  columns then give file/row-group pruning through stock Catalyst pushdown —
+  verifiable in .explain() as PushedFilters on the scan.
+
+- Skew salting (SURVEY.md §2.6 — the reference has no skew handling beyond KDB
+  balancing): hot cells are split into ``factor`` sub-keys; the other join side
+  explodes each hot cell into all sub-keys so the equi-join stays correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from incubator_sedona_spark.cells import Grid
+from incubator_sedona_spark.operators.joins import BBOX_COLS, with_bbox
+
+
+# -- storage layout ------------------------------------------------------------
+
+def write_geo_table(
+    df: DataFrame,
+    path: str,
+    grid: Grid,
+    geom_col: str = "wkb",
+    sort: bool = True,
+) -> None:
+    """Write a geometry table with bbox + cell stat columns, clustered by cell.
+
+    Sorting by cell makes each parquet row group spatially tight, so min/max
+    stats on the bbox columns prune row groups for any window query.
+    """
+    out = with_bbox(df, geom_col)
+    out = out.withColumn(
+        "cell", grid.point_cell_col((F.col("xmin") + F.col("xmax")) / 2.0,
+                                    (F.col("ymin") + F.col("ymax")) / 2.0)
+    )
+    if sort:
+        out = out.repartitionByRange(F.col("cell")).sortWithinPartitions("cell")
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_geo_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def bbox_window_filter(xmin: float, ymin: float, xmax: float, ymax: float):
+    """Window predicate over the stored bbox columns — plain comparisons that
+    Catalyst pushes into the parquet scan (PushedFilters)."""
+    return (
+        (F.col("xmin") <= xmax)
+        & (F.col("xmax") >= xmin)
+        & (F.col("ymin") <= ymax)
+        & (F.col("ymax") >= ymin)
+    )
+
+
+# -- skew handling ---------------------------------------------------------------
+
+def find_hot_cells(df: DataFrame, cell_col: str = "cell", top_k: int = 16, min_rows: int = 100_000):
+    """Driver-side hot-cell detection: one aggregate job, top-k by row count."""
+    rows = (
+        df.groupBy(cell_col)
+        .count()
+        .where(F.col("count") >= min_rows)
+        .orderBy(F.col("count").desc())
+        .limit(top_k)
+        .collect()
+    )
+    return {r[cell_col]: int(r["count"]) for r in rows}
+
+
+def salt_cells(
+    df: DataFrame,
+    hot: dict,
+    factor: int = 8,
+    cell_col: str = "cell",
+    explode_side: bool = False,
+    salt_col: str = "salt",
+) -> DataFrame:
+    """Salt hot cells into ``factor`` sub-keys; join both sides on
+    ``[cell_col, salt_col]``.
+
+    - probe side (``explode_side=False``): each row in a hot cell gets ONE
+      deterministic sub-key (hash of all columns mod factor).
+    - build side (``explode_side=True``): each row in a hot cell is replicated
+      into ALL sub-keys, so every probe sub-key still meets every build row.
+
+    Equivalent to joining on ``cell`` alone, but the hot cell's work spreads
+    over ``factor`` reducers.  AQE's skew-join handles the same problem
+    adaptively; explicit salting is for jobs where skew is known up front
+    (e.g. from the cell metrics ledger).
+    """
+    if not hot:
+        return df.withColumn(salt_col, F.lit(0))
+    hot_lit = F.array(*[F.lit(int(c)).cast("long") for c in hot])
+    is_hot = F.array_contains(hot_lit, F.col(cell_col))
+    if explode_side:
+        salts = F.when(is_hot, F.sequence(F.lit(0), F.lit(factor - 1))).otherwise(
+            F.array(F.lit(0))
+        )
+        return df.withColumn(salt_col, F.explode(salts))
+    return df.withColumn(
+        salt_col,
+        F.when(is_hot, F.pmod(F.xxhash64(*df.columns), F.lit(factor)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
