@@ -1,0 +1,166 @@
+"""ST_ scalar surface + overlay + aggregates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_sedona_spark.functions import overlay as O
+from incubator_sedona_spark.functions import st as S
+from incubator_sedona_spark.geom import wkb as W
+
+
+def _df1(spark, g):
+    return spark.createDataFrame([(bytearray(W.dumps(g)),)], "wkb binary")
+
+
+def test_constructors_and_accessors(spark):
+    df = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    row = df.select(
+        S.st_point(F.col("x"), F.col("y")).alias("pt"),
+    ).select(
+        S.st_x(F.col("pt")).alias("px"),
+        S.st_y(F.col("pt")).alias("py"),
+        S.st_as_text(F.col("pt")).alias("wkt"),
+        S.st_geometry_type(F.col("pt")).alias("t"),
+    ).collect()[0]
+    assert (row.px, row.py) == (3.0, 4.0)
+    assert row.wkt == "POINT (3 4)"
+    assert row.t == "ST_Point"
+
+
+def test_wkt_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",), ("POINT (1.5 -2.25)",)],
+        "wkt string",
+    )
+    out = df.select(S.st_as_text(S.st_geom_from_wkt(F.col("wkt"))).alias("rt")).collect()
+    assert out[0].rt.startswith("POLYGON")
+    assert out[1].rt == "POINT (1.5 -2.25)"
+
+
+def test_measures(spark):
+    df = _df1(spark, W.polygon([(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]))
+    row = df.select(
+        S.st_area(F.col("wkb")).alias("a"),
+        S.st_length(F.col("wkb")).alias("l"),
+        S.st_npoints(F.col("wkb")).alias("n"),
+    ).collect()[0]
+    assert row.a == pytest.approx(100 - 4)
+    assert row.l == pytest.approx(40 + 8)
+    assert row.n == 10
+
+
+def test_centroid_and_envelope(spark):
+    df = _df1(spark, W.box(2, 2, 6, 10))
+    row = df.select(
+        S.st_centroid_xy(F.col("wkb")).alias("c"),
+        S.st_envelope_bbox(F.col("wkb")).alias("e"),
+    ).collect()[0]
+    assert row.c == pytest.approx([4.0, 6.0])
+    assert row.e == [2.0, 2.0, 6.0, 10.0]
+
+
+def test_transforms(spark):
+    df = _df1(spark, W.point(1, 2))
+    row = df.select(
+        S.st_as_text(S.st_translate(F.col("wkb"), 10, 20)).alias("t"),
+        S.st_as_text(S.st_flip_coordinates(F.col("wkb"))).alias("f"),
+    ).collect()[0]
+    assert row.t == "POINT (11 22)"
+    assert row.f == "POINT (2 1)"
+
+
+def test_convex_hull_and_simplify(spark):
+    pts = W.multi(W.MULTIPOINT, [W.point(0, 0), W.point(4, 0), W.point(4, 4), W.point(0, 4), W.point(2, 2)])
+    df = _df1(spark, pts)
+    hull = W.loads(bytes(df.select(S.st_convex_hull(F.col("wkb")).alias("h")).collect()[0].h))
+    assert hull.kind == W.POLYGON and abs(hull.bounds[2] - 4) < 1e-9
+    line = W.linestring([(0, 0), (1, 0.001), (2, 0), (3, 0.001), (4, 0)])
+    df = _df1(spark, line)
+    simp = W.loads(bytes(df.select(S.st_simplify(F.col("wkb"), 0.01).alias("s")).collect()[0].s))
+    assert len(simp.parts) == 2  # collapses to endpoints
+
+
+def test_distance_sphere(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], "lon1 double, lat1 double, lon2 double, lat2 double")
+    d = df.select(S.st_distance_sphere(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")).collect()[0].d
+    assert d == pytest.approx(111195.0, rel=1e-3)  # 1 degree of latitude
+
+
+def test_geohash(spark):
+    df = spark.createDataFrame([(-5.6, 42.6)], "lon double, lat double")
+    gh = df.select(S.st_geohash(F.col("lon"), F.col("lat"), 5).alias("g")).collect()[0].g
+    assert gh == "ezs42"  # canonical geohash test vector
+
+
+def test_cell_ids(spark):
+    from incubator_sedona_spark.cells import Grid
+
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 4)
+    df = _df1(spark, W.box(0, 0, 7, 7))
+    cells = df.select(S.st_cell_ids(F.col("wkb"), grid).alias("c")).collect()[0].c
+    assert len(cells) == 4  # 7/6.25 spans 2 cells per axis
+
+
+def test_st_predicate_column(spark):
+    df = spark.createDataFrame(
+        [
+            (bytearray(W.dumps(W.box(0, 0, 10, 10))), bytearray(W.dumps(W.point(5, 5)))),
+            (bytearray(W.dumps(W.box(0, 0, 10, 10))), bytearray(W.dumps(W.point(15, 5)))),
+        ],
+        "a binary, b binary",
+    )
+    got = [r.c for r in df.select(S.st_predicate("contains", F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [True, False]
+
+
+# -- overlay -----------------------------------------------------------------
+
+def test_intersection_convex(spark):
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(W.box(0, 0, 10, 10))), bytearray(W.dumps(W.box(5, 5, 15, 15))))],
+        "a binary, b binary",
+    )
+    got = W.loads(bytes(df.select(O.st_intersection(F.col("a"), F.col("b")).alias("i")).collect()[0].i))
+    assert got.kind == W.POLYGON
+    assert got.bounds == (5.0, 5.0, 10.0, 10.0)
+
+
+def test_intersection_empty_and_point(spark):
+    df = spark.createDataFrame(
+        [
+            (bytearray(W.dumps(W.box(0, 0, 1, 1))), bytearray(W.dumps(W.box(5, 5, 6, 6)))),
+            (bytearray(W.dumps(W.point(0.5, 0.5))), bytearray(W.dumps(W.box(0, 0, 1, 1)))),
+        ],
+        "a binary, b binary",
+    )
+    rows = df.select(O.st_intersection(F.col("a"), F.col("b")).alias("i")).collect()
+    assert len(list(W.loads(bytes(rows[0].i)).leaves())) == 0  # empty collection
+    assert W.loads(bytes(rows[1].i)).kind == W.POINT
+
+
+def test_envelope_aggr(spark):
+    rng = np.random.default_rng(1)
+    xs, ys = rng.uniform(10, 20, 50), rng.uniform(30, 40, 50)
+    df = spark.createDataFrame(
+        [(bytearray(b),) for b in W.points_to_wkb(xs, ys)], "wkb binary"
+    )
+    row = O.st_envelope_aggr(df).collect()[0]
+    assert row.env_xmin == pytest.approx(xs.min())
+    assert row.env_ymax == pytest.approx(ys.max())
+    env = W.loads(bytes(row.env_wkb))
+    assert env.kind == W.POLYGON
+
+
+def test_collect_aggr(spark):
+    df = spark.createDataFrame(
+        [
+            ("g1", bytearray(W.dumps(W.box(0, 0, 1, 1)))),
+            ("g1", bytearray(W.dumps(W.box(2, 2, 3, 3)))),
+            ("g2", bytearray(W.dumps(W.point(9, 9)))),
+        ],
+        "grp string, wkb binary",
+    )
+    rows = {r.grp: W.loads(bytes(r.collected_wkb)) for r in O.st_collect_aggr(df, group_by=["grp"]).collect()}
+    assert rows["g1"].kind == W.MULTIPOLYGON and len(rows["g1"].parts) == 2
+    assert rows["g2"].kind == W.MULTIPOINT
