@@ -309,6 +309,23 @@ def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell row-count ledger over customer points (metrics surface)."""
+    from incubator_sedona_spark.plans.metrics import cell_metrics
+
+    cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 4)
+    m = cell_metrics(cust, grid, "x", "y")
+    return m.select("cell", "lineage", "row_count")
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_sedona_spark.pipeline.text import bpe_ish_token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count_col(F.col("text")).alias("n_bpe"))
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.8).select("id_a", "id_b")
@@ -358,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cell_count_ledger": q_cell_count_ledger,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 
@@ -521,6 +540,29 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(e.embedding, q.embedding) AS cosine
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ) ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "cell_count_ledger": f"""
+            WITH pts AS (SELECT {lon_c} AS x, {lat_c} AS y FROM customer),
+            cells AS (
+              SELECT ((CAST(4 AS BIGINT) << 58)
+                      | (CAST(least(15, greatest(0, floor(x / 6.250625))) AS BIGINT) << 29)
+                      | CAST(least(15, greatest(0, floor(y / 6.250625))) AS BIGINT)) AS cell,
+                     CAST(least(15, greatest(0, floor(x / 6.250625))) AS BIGINT) AS ix,
+                     CAST(least(15, greatest(0, floor(y / 6.250625))) AS BIGINT) AS iy
+              FROM pts)
+            SELECT cell,
+                   concat(
+                     CAST(((ix >> 3) & 1) | (((iy >> 3) & 1) * 2) AS VARCHAR),
+                     CAST(((ix >> 2) & 1) | (((iy >> 2) & 1) * 2) AS VARCHAR),
+                     CAST(((ix >> 1) & 1) | (((iy >> 1) & 1) * 2) AS VARCHAR),
+                     CAST((ix & 1) | ((iy & 1) * 2) AS VARCHAR)
+                   ) AS lineage,
+                   count(*) AS row_count
+            FROM cells GROUP BY 1, 2
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
+            FROM documents
         """,
         # minhash_pairs / simhash_pairs / embed_dup_pairs / ngram_jaccard_pairs:
         # LSH banding is not ANSI-expressible -> rows-only checks.
