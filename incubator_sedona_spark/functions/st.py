@@ -35,6 +35,14 @@ from incubator_sedona_spark.geom import kernel as K
 from incubator_sedona_spark.geom import wkb as W
 
 __all__ = [
+    "st_transform_4326_to_3857",
+    "st_transform_3857_to_4326",
+    "st_azimuth",
+    "st_num_geometries",
+    "st_boundary_bbox",
+    "st_exterior_ring",
+    "st_dump",
+    "st_geometric_median",
     "st_point",
     "st_geom_from_wkt",
     "st_as_text",
@@ -537,3 +545,133 @@ def st_predicate(name: str, a: Column, b: Column) -> Column:
         return pd.Series(K.eval_predicate_batch(name, l, r))
 
     return _f(a, b)
+
+
+# -- CRS transform (pure-numpy Web Mercator; ST_Transform's dominant use) -------
+
+_R_MERC = 6378137.0
+
+
+def st_transform_4326_to_3857(wkb_col: Column) -> Column:
+    """EPSG:4326 (lon/lat degrees) -> EPSG:3857 (Web Mercator meters).
+
+    The tiling-relevant subset of ST_Transform (reference uses GeoTools for
+    arbitrary CRS; this engine implements the spherical-Mercator pair in
+    closed form — pyproj, when importable, can be slotted in the same UDF).
+    """
+
+    def fwd(c: np.ndarray) -> np.ndarray:
+        x = np.radians(c[:, 0]) * _R_MERC
+        y = np.log(np.tan(np.pi / 4 + np.radians(np.clip(c[:, 1], -89.9999, 89.9999)) / 2)) * _R_MERC
+        return np.column_stack([x, y])
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        tr = _map_coords(fwd)
+        return pd.Series([W.dumps(tr(W.loads(b))) for b in s])
+
+    return _f(wkb_col)
+
+
+def st_transform_3857_to_4326(wkb_col: Column) -> Column:
+    def inv(c: np.ndarray) -> np.ndarray:
+        lon = np.degrees(c[:, 0] / _R_MERC)
+        lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / _R_MERC)) - np.pi / 2)
+        return np.column_stack([lon, lat])
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        tr = _map_coords(inv)
+        return pd.Series([W.dumps(tr(W.loads(b))) for b in s])
+
+    return _f(wkb_col)
+
+
+# -- more accessors ---------------------------------------------------------------
+
+def st_azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Azimuth in radians clockwise from north (Functions.java ST_Azimuth) —
+    pure Catalyst arithmetic."""
+    az = F.atan2(x2 - x1, y2 - y1)
+    return F.when(az < 0, az + F.lit(2 * math.pi)).otherwise(az)
+
+
+def st_num_geometries(wkb_col: Column) -> Column:
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([len(list(W.loads(b).leaves())) for b in s], dtype="int32")
+
+    return _f(wkb_col)
+
+
+def st_boundary_bbox(wkb_col: Column) -> Column:
+    """Boundary ring of polygons as a LineString (exterior ring); lines ->
+    endpoints MultiPoint; points -> empty collection."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            if g.kind == W.POLYGON:
+                out.append(W.dumps(W.linestring(g.parts[0])))
+            elif g.kind == W.LINESTRING:
+                out.append(
+                    W.dumps(
+                        W.multi(W.MULTIPOINT, [W.point(*g.parts[0]), W.point(*g.parts[-1])])
+                    )
+                )
+            else:
+                out.append(W.dumps(W.multi(W.GEOMETRYCOLLECTION, [])))
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+def st_exterior_ring(wkb_col: Column) -> Column:
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            out.append(W.dumps(W.linestring(g.parts[0])) if g.kind == W.POLYGON else None)
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+def st_dump(wkb_col: Column) -> Column:
+    """array<binary> of leaf geometries — explode() replaces the reference's
+    generator expression (ST_SubDivideExplode/ST_Dump pattern)."""
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([[W.dumps(leaf) for leaf in W.loads(b).leaves()] for b in s])
+
+    return _f(wkb_col)
+
+
+def st_geometric_median(wkb_col: Column, tol: float = 1e-6, max_iter: int = 1000) -> Column:
+    """Weiszfeld iteration over a MultiPoint (Catalog.scala:147 constants:
+    tol 1e-6, 1000 iterations)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            pts = W.loads(b).vertices()
+            m = pts.mean(axis=0)
+            for _ in range(max_iter):
+                d = np.hypot(pts[:, 0] - m[0], pts[:, 1] - m[1])
+                if np.any(d < 1e-12):
+                    break
+                wgt = 1.0 / d
+                nm = (pts * wgt[:, None]).sum(axis=0) / wgt.sum()
+                if np.hypot(*(nm - m)) < tol:
+                    m = nm
+                    break
+                m = nm
+            out.append(m)
+        return pd.Series(out)
+
+    return _f(wkb_col)

@@ -164,3 +164,44 @@ def test_collect_aggr(spark):
     rows = {r.grp: W.loads(bytes(r.collected_wkb)) for r in O.st_collect_aggr(df, group_by=["grp"]).collect()}
     assert rows["g1"].kind == W.MULTIPOLYGON and len(rows["g1"].parts) == 2
     assert rows["g2"].kind == W.MULTIPOINT
+
+
+def test_transform_mercator_roundtrip(spark):
+    df = _df1(spark, W.point(-73.98, 40.75))
+    merc = df.select(S.st_transform_4326_to_3857(F.col("wkb")).alias("m"))
+    row = merc.select(
+        S.st_x(F.col("m")).alias("mx"),
+        S.st_y(F.col("m")).alias("my"),
+        S.st_as_text(S.st_transform_3857_to_4326(F.col("m"))).alias("back"),
+    ).collect()[0]
+    assert row.mx == pytest.approx(-8235343.0, rel=1e-4)  # canonical NYC value
+    assert row.my == pytest.approx(4975316.0, rel=1e-3)
+    back = W.loads(bytes(_df1(spark, W.point(0, 0)).select(
+        S.st_transform_3857_to_4326(S.st_transform_4326_to_3857(F.col("wkb"))).alias("b")
+    ).collect()[0].b))
+    assert np.allclose(back.vertices(), [[0, 0]], atol=1e-9)
+
+
+def test_azimuth_num_geoms_dump(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 1.0, 1.0)], "x1 double, y1 double, x2 double, y2 double")
+    az = df.select(S.st_azimuth(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("a")).collect()[0].a
+    assert az == pytest.approx(np.pi / 4)
+    mp = _df1(spark, W.multi(W.MULTIPOLYGON, [W.box(0, 0, 1, 1), W.box(2, 2, 3, 3)]))
+    assert mp.select(S.st_num_geometries(F.col("wkb")).alias("n")).collect()[0].n == 2
+    dumped = mp.select(F.explode(S.st_dump(F.col("wkb"))).alias("g"))
+    assert dumped.count() == 2
+
+
+def test_geometric_median(spark):
+    pts = W.multi(W.MULTIPOINT, [W.point(0, 0), W.point(0, 0), W.point(0, 0), W.point(10, 0)])
+    df = _df1(spark, pts)
+    m = df.select(S.st_geometric_median(F.col("wkb")).alias("m")).collect()[0].m
+    assert m[0] == pytest.approx(0.0, abs=1e-3) and m[1] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_boundary_and_exterior_ring(spark):
+    df = _df1(spark, W.box(0, 0, 4, 4))
+    b = W.loads(bytes(df.select(S.st_boundary_bbox(F.col("wkb")).alias("b")).collect()[0].b))
+    assert b.kind == W.LINESTRING and len(b.parts) == 5
+    e = W.loads(bytes(df.select(S.st_exterior_ring(F.col("wkb")).alias("e")).collect()[0].e))
+    assert e.kind == W.LINESTRING
