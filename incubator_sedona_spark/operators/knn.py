@@ -17,10 +17,14 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from incubator_sedona_spark.cells import Grid
+from incubator_sedona_spark.geom import kernel as K
+from incubator_sedona_spark.geom import wkb as Wk
 from incubator_sedona_spark.operators.joins import with_bbox
 
 
@@ -42,12 +46,20 @@ def knn_query(
     through the vectorized kernel in operators.joins.
     """
     if x_col is None:
-        df = with_bbox(df, geom_col)
-        x_col, y_col = "xmin", "ymin"
-    out = df.withColumn(
-        dist_col,
-        F.sqrt(F.pow(F.col(x_col) - F.lit(qx), 2) + F.pow(F.col(y_col) - F.lit(qy), 2)),
-    )
+
+        @F.pandas_udf(DoubleType())
+        def _dist(wkbs: pd.Series) -> pd.Series:
+            qb = [Wk.dumps(Wk.point(qx, qy))] * len(wkbs)
+            return pd.Series(K.distance_batch(wkbs, qb))
+
+        out = df.withColumn(dist_col, _dist(F.col(geom_col)))
+    else:
+        out = df.withColumn(
+            dist_col,
+            F.sqrt(
+                F.pow(F.col(x_col) - F.lit(qx), 2) + F.pow(F.col(y_col) - F.lit(qy), 2)
+            ),
+        )
     order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     return out.orderBy(*order).limit(k)
 
