@@ -122,6 +122,34 @@ def st_union_collect(a: Column, b: Column) -> Column:
     return _f(a, b)
 
 
+def st_intersection_aggr(df: DataFrame, geom_col: str = "wkb", group_by: list | None = None) -> DataFrame:
+    """ST_Intersection_Aggr (AggregateFunctions.scala:157-170) — the common
+    intersection of all geometries per group.
+
+    Exact for CONVEX polygon inputs: convex ∩ convex is convex, so a left fold
+    of Sutherland-Hodgman clips computes the aggregate exactly (two-stage:
+    collect_list then fold — the intersection of a group is small by nature,
+    so the collect is bounded).  Raises for concave inputs.
+    """
+    gb = group_by or []
+    grouped = df.groupBy(*gb).agg(F.collect_list(geom_col).alias("__geoms"))
+
+    @F.pandas_udf(BinaryType())
+    def _fold(geom_lists: pd.Series) -> pd.Series:
+        out = []
+        for lst in geom_lists:
+            geoms = [W.loads(b) for b in lst]
+            acc = geoms[0]
+            for g in geoms[1:]:
+                acc = intersection_pair(acc, g)
+                if not list(acc.leaves()):
+                    break
+            out.append(W.dumps(acc))
+        return pd.Series(out)
+
+    return grouped.withColumn("intersection_wkb", _fold(F.col("__geoms"))).drop("__geoms")
+
+
 # -- aggregates -------------------------------------------------------------------
 
 def st_envelope_aggr(df: DataFrame, geom_col: str = "wkb", group_by: list | None = None) -> DataFrame:

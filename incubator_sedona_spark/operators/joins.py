@@ -348,6 +348,7 @@ def distance_join(
     emit_distance: str | None = None,
     left_point_cols: tuple[str, str] | None = None,
     right_point_cols: tuple[str, str] | None = None,
+    geography: bool = False,
 ) -> DataFrame:
     """Join pairs with ST_Distance(left, right) <= radius (or < if not include_boundary).
 
@@ -378,6 +379,15 @@ def distance_join(
     rad = F.lit(float(radius)) if isinstance(radius, (int, float)) else (
         F.col(lp + radius) if isinstance(radius, str) else radius
     )
+    if geography:
+        # geography mode: radius given in METERS; the envelope expansion
+        # converts to degrees with the reference's constants — earth radius
+        # 6357000 m and a 10% safety fudge (TraitJoinQueryBase.scala:84-97).
+        # The refine below then computes haversine distance in meters.
+        import math as _math
+
+        meter_rad = rad
+        rad = rad / F.lit(6357000.0) * F.lit(180.0 / _math.pi) * F.lit(1.1)
 
     if mode == "circle":
         half_diag = (
@@ -448,13 +458,24 @@ def distance_join(
             F.pow(F.col(lp + "xmin") - F.col(rp + "xmin"), 2)
             + F.pow(F.col(lp + "ymin") - F.col(rp + "ymin"), 2)
         )
-        if left_point_cols is not None and right_point_cols is not None:
+        if geography:
+            # haversine meters, pure Catalyst (Haversine.java analog, R=6371008)
+            rl1 = F.radians(F.col(lp + "ymin"))
+            rl2 = F.radians(F.col(rp + "ymin"))
+            dlat = rl2 - rl1
+            dlon = F.radians(F.col(rp + "xmin")) - F.radians(F.col(lp + "xmin"))
+            hav = F.pow(F.sin(dlat / 2), 2) + F.cos(rl1) * F.cos(rl2) * F.pow(F.sin(dlon / 2), 2)
+            native_dist = F.lit(2.0 * 6371008.0) * F.asin(F.sqrt(hav))
+            dist = native_dist
+        elif left_point_cols is not None and right_point_cols is not None:
             dist = native_dist  # both sides are coordinate points: zero-UDF plan
         else:
             dist = F.when(l_is_pt & r_is_pt, native_dist).otherwise(
                 _distance_pair_udf()(F.col(lp + left_geom), F.col(rp + right_geom))
             )
     cand = cand.withColumn("__iss_dist", dist)
+    if geography:
+        cand = cand.withColumn("__iss_rad", meter_rad)
     cond = (
         F.col("__iss_dist") <= F.col("__iss_rad")
         if include_boundary

@@ -205,3 +205,17 @@ def test_boundary_and_exterior_ring(spark):
     assert b.kind == W.LINESTRING and len(b.parts) == 5
     e = W.loads(bytes(df.select(S.st_exterior_ring(F.col("wkb")).alias("e")).collect()[0].e))
     assert e.kind == W.LINESTRING
+
+
+def test_intersection_aggr_convex(spark):
+    df = spark.createDataFrame(
+        [
+            ("g", bytearray(W.dumps(W.box(0, 0, 10, 10)))),
+            ("g", bytearray(W.dumps(W.box(5, 5, 15, 15)))),
+            ("g", bytearray(W.dumps(W.box(0, 6, 20, 20)))),
+        ],
+        "grp string, wkb binary",
+    )
+    row = O.st_intersection_aggr(df, group_by=["grp"]).collect()[0]
+    got = W.loads(bytes(row.intersection_wkb))
+    assert got.bounds == (5.0, 6.0, 10.0, 10.0)

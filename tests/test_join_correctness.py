@@ -249,3 +249,35 @@ def test_auto_grid_inference(spark):
     zones = _zones_df(spark)
     pts = _points_df(spark, 2.5, 2.5)
     assert spatial_join(zones, pts, "contains").count() == 400
+
+
+def test_geography_distance_join(spark):
+    # two points ~111 km apart (1 deg latitude); radius in METERS
+    a = spark.createDataFrame(
+        [(0, bytearray(W.dumps(W.point(10.0, 50.0))))], "lid int, wkb binary"
+    )
+    b = spark.createDataFrame(
+        [(0, bytearray(W.dumps(W.point(10.0, 51.0))))], "rid int, wkb binary"
+    )
+    grid = Grid(0.0, 40.0, 20.01, 60.01, 3)
+    assert distance_join(a, b, 120_000.0, grid=grid, geography=True).count() == 1
+    assert distance_join(a, b, 100_000.0, grid=grid, geography=True).count() == 0
+
+
+def test_distance_join_column_radius(spark):
+    left = spark.createDataFrame(
+        [
+            (0, bytearray(W.dumps(W.point(0.0, 0.0))), 5.0),
+            (1, bytearray(W.dumps(W.point(50.0, 50.0))), 0.5),
+        ],
+        "lid int, wkb binary, r double",
+    )
+    right = spark.createDataFrame(
+        [
+            (0, bytearray(W.dumps(W.point(3.0, 4.0)))),   # dist 5 from lid 0
+            (1, bytearray(W.dumps(W.point(50.0, 51.0)))),  # dist 1 from lid 1
+        ],
+        "rid int, wkb binary",
+    )
+    got = {(r.lid, r.rid) for r in distance_join(left, right, "r", grid=GRID).collect()}
+    assert got == {(0, 0)}  # 5 <= 5 matches; 1 > 0.5 does not
