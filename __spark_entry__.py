@@ -251,7 +251,6 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(t)
     toks = F.split(t, r"\s+")
     n_tokens = F.when(t == "", 0).otherwise(F.size(toks))
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z0-9_ \t\n]", ""))
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9_ \t\n]", ""))
     return d.select(
         "doc_id",

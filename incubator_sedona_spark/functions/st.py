@@ -301,15 +301,29 @@ def st_centroid_xy(wkb_col: Column) -> Column:
             if polys:
                 A = Cx = Cy = 0.0
                 for p in polys:
-                    r = p.parts[0]
-                    x, y = r[:-1, 0], r[:-1, 1]
-                    x1, y1 = r[1:, 0], r[1:, 1]
-                    cross = x * y1 - x1 * y
-                    a = cross.sum() / 2.0
-                    if a != 0:
-                        Cx += float(((x + x1) * cross).sum() / 6.0)
-                        Cy += float(((y + y1) * cross).sum() / 6.0)
-                        A += a
+                    # every ring enters the shoelace sum: interior rings (holes)
+                    # wind opposite to the shell, so they contribute negative
+                    # signed area — matching JTS ST_Centroid on holed polygons
+                    for ri, r in enumerate(p.parts):
+                        x, y = r[:-1, 0], r[:-1, 1]
+                        x1, y1 = r[1:, 0], r[1:, 1]
+                        cross = x * y1 - x1 * y
+                        a = cross.sum() / 2.0
+                        if a != 0:
+                            sgn = 1.0
+                            if ri > 0:
+                                # force holes to subtract even if stored with
+                                # the same winding as the shell
+                                shell = p.parts[0]
+                                sa = (
+                                    shell[:-1, 0] * shell[1:, 1]
+                                    - shell[1:, 0] * shell[:-1, 1]
+                                ).sum() / 2.0
+                                if a * sa > 0:
+                                    sgn = -1.0
+                            Cx += sgn * float(((x + x1) * cross).sum() / 6.0)
+                            Cy += sgn * float(((y + y1) * cross).sum() / 6.0)
+                            A += sgn * a
                 out.append(np.array([Cx / A, Cy / A]) if A else g.vertices().mean(axis=0))
             else:
                 out.append(g.vertices().mean(axis=0))
@@ -319,7 +333,10 @@ def st_centroid_xy(wkb_col: Column) -> Column:
 
 
 def st_is_valid(wkb_col: Column) -> Column:
-    """Light validity: rings closed, >=4 points, no self-intersection of the shell."""
+    """Polygon validity: rings closed, >=4 points, and no ring self-intersection
+    (proper crossings between non-adjacent edges — the common invalidity JTS
+    rejects; full OGC validity also checks ring nesting, not needed here)."""
+    from incubator_sedona_spark.geom import kernel as K
 
     @F.pandas_udf(BooleanType())
     def _f(s: pd.Series) -> pd.Series:
@@ -328,10 +345,20 @@ def st_is_valid(wkb_col: Column) -> Column:
             g = W.loads(b)
             ok = True
             for leaf in g.leaves():
-                if leaf.kind == W.POLYGON:
-                    for r in leaf.parts:
-                        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
-                            ok = False
+                if leaf.kind != W.POLYGON:
+                    continue
+                for r in leaf.parts:
+                    if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                        ok = False
+                        break
+                    edges = np.column_stack([r[:-1], r[1:]])
+                    # proper (transversal) crossing between any two edges of
+                    # the same ring = bowtie/self-intersection
+                    if K.segments_intersect_any(edges, edges, proper_only=True):
+                        ok = False
+                        break
+                if not ok:
+                    break
             out.append(ok)
         return pd.Series(out)
 

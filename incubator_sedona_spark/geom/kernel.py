@@ -222,6 +222,20 @@ def _intersects(a: W.Geometry, b: W.Geometry) -> bool:
     return segments_intersect_any(a.edges(), b.edges())
 
 
+def _hole_probe_pts(g: W.Geometry) -> np.ndarray:
+    """Vertices + edge midpoints of interior rings (holes) of a polygonal geometry."""
+    pts = []
+    for leaf in g.leaves():
+        if leaf.kind != W.POLYGON:
+            continue
+        for ring in leaf.parts[1:]:
+            pts.append(ring[:-1])
+            pts.append((ring[:-1] + ring[1:]) / 2.0)
+    if not pts:
+        return np.empty((0, 2))
+    return np.concatenate(pts, axis=0)
+
+
 def _covers(a: W.Geometry, b: W.Geometry) -> bool:
     if _bbox_disjoint(a, b):
         return False
@@ -230,7 +244,16 @@ def _covers(a: W.Geometry, b: W.Geometry) -> bool:
     if b.kind == W.POINT or all(l.kind == W.POINT for l in b.leaves()):
         return True
     # all vertices covered: reject if an edge of b properly exits a's boundary
-    return not segments_intersect_any(a.edges(), b.edges(), proper_only=True)
+    if segments_intersect_any(a.edges(), b.edges(), proper_only=True):
+        return False
+    # hole check: a hole of `a` strictly inside `b` means b's interior dips
+    # into the hole even though all of b's vertices are covered and no edge
+    # properly crosses (the hole ring lies wholly inside b)
+    if _is_polygonal(b):
+        hp = _hole_probe_pts(a)
+        if len(hp) and np.any(_strict_inside_points(b, hp)):
+            return False
+    return True
 
 
 def _interiors_intersect(a: W.Geometry, b: W.Geometry) -> bool:

@@ -181,8 +181,19 @@ def loads(buf: bytes) -> Geometry:
 def _read(mv: memoryview, off: int):
     little = mv[off] == 1
     fmt = "<" if little else ">"
-    kind = struct.unpack_from(fmt + "I", mv, off + 1)[0] & 0xFF  # strip SRID/Z flags
+    raw = struct.unpack_from(fmt + "I", mv, off + 1)[0]
     off += 5
+    # EWKB (PostGIS) flag bits: 0x20000000 = embedded SRID (4-byte payload we
+    # must skip), 0x80000000 = Z, 0x40000000 = M.  ISO WKB encodes Z/M/ZM as
+    # type + 1000/2000/3000.  This engine is strictly 2-D: skip SRID payloads,
+    # reject Z/M variants loudly rather than parsing coordinates as garbage.
+    if raw & 0x20000000:
+        off += 4  # skip EWKB SRID
+    if raw & (0x80000000 | 0x40000000):
+        raise ValueError(f"Z/M WKB variants are not supported (type=0x{raw:08x})")
+    kind = raw & 0x1FFFFFFF
+    if kind >= 1000:
+        raise ValueError(f"Z/M WKB variants are not supported (ISO type={kind})")
     if kind == POINT:
         x, y = struct.unpack_from(fmt + "dd", mv, off)
         return Geometry(POINT, np.array([[x, y]], dtype=np.float64)), off + 16

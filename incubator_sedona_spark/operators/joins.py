@@ -189,14 +189,18 @@ def _dedup_filter(grid: Grid, lp: str, rp: str) -> Column:
     return l_point | r_point | (F.col(_CELL) == grid.point_cell_col(ref_x, ref_y))
 
 
+_LEFT_ID_HOWS = ("left_semi", "left_anti", "left_outer", "existence")
+
+
 def _finish_how(
     left: DataFrame, inner: DataFrame, how: str, row_id: str, left_cols: list[str]
 ) -> DataFrame:
-    """Turn inner pair results into semi/anti/outer forms.
+    """Turn inner pair results into semi/anti/outer/existence forms.
 
     Mirrors BroadcastIndexJoinExec's join-type coverage
-    (BroadcastIndexJoinExec.scala:57-71) via a matched-id back-join — Catalyst
-    plans left_semi/left_anti natively.
+    (BroadcastIndexJoinExec.scala:57-71,244) via a matched-id back-join —
+    Catalyst plans left_semi/left_anti natively.  ``existence`` returns every
+    left row plus a boolean ``exists`` column (the ExistenceJoin output shape).
     """
     if how == "inner":
         return inner.drop(row_id)
@@ -210,7 +214,35 @@ def _finish_how(
         return left.join(
             inner.select(row_id, *right_cols), row_id, "left_outer"
         ).drop(row_id)
+    if how == "existence":
+        return (
+            left.join(
+                matched.withColumn("__iss_ex", F.lit(True)), row_id, "left_outer"
+            )
+            .withColumn("exists", F.coalesce(F.col("__iss_ex"), F.lit(False)))
+            .drop(row_id, "__iss_ex")
+        )
     raise ValueError(f"unsupported how={how!r}")
+
+
+def _finish_right_outer(
+    rgt: DataFrame, inner: DataFrame, row_id: str, rp: str,
+    left_cols: list[str], right_cols: list[str],
+) -> DataFrame:
+    """right_outer: every right row, left columns null where unmatched.
+
+    Output naming matches the inner form (left names first, colliding right
+    names suffixed ``_r``) — BroadcastIndexJoinExec.scala:63-65 parity.
+    """
+    lnames = set(left_cols)
+    out_right = [c if c not in lnames else c + "_r" for c in right_cols]
+    right_plain = rgt.select(
+        *[F.col(rp + c).alias(o) for c, o in zip(right_cols, out_right)],
+        F.col(row_id),
+    )
+    pairs_left = inner.select(row_id, *left_cols)
+    res = right_plain.join(pairs_left, row_id, "left_outer")
+    return res.select(*left_cols, *out_right)
 
 
 # -- public operators ---------------------------------------------------------
@@ -270,10 +302,14 @@ def spatial_join(
         )
 
     row_id = "__iss_lid"
-    if how != "inner":
+    if how in _LEFT_ID_HOWS:
         # persist: the id column must be identical in the pair plan and the
         # back-join plan (monotonically_increasing_id is plan-nondeterministic)
         lft = lft.withColumn(row_id, F.monotonically_increasing_id()).persist()
+    elif how == "right_outer":
+        rgt = rgt.withColumn(row_id, F.monotonically_increasing_id()).persist()
+    elif how != "inner":
+        raise ValueError(f"unsupported how={how!r}")
 
     le = _explode_cells(lft, grid, lp)
     re = _explode_cells(rgt, grid, rp)
@@ -327,6 +363,10 @@ def spatial_join(
 
     if how == "inner":
         return inner
+    if how == "right_outer":
+        return _finish_right_outer(
+            rgt, inner, row_id, rp, list(left.columns), list(right.columns)
+        )
     left_plain = lft.select(
         *[F.col(lp + c).alias(c) for c in left.columns], F.col(row_id)
     )
@@ -379,15 +419,24 @@ def distance_join(
     rad = F.lit(float(radius)) if isinstance(radius, (int, float)) else (
         F.col(lp + radius) if isinstance(radius, str) else radius
     )
+    lon_scale = F.lit(1.0)
     if geography:
         # geography mode: radius given in METERS; the envelope expansion
         # converts to degrees with the reference's constants — earth radius
         # 6357000 m and a 10% safety fudge (TraitJoinQueryBase.scala:84-97).
+        # The LONGITUDE delta must additionally be divided by cos(lat +/-
+        # latDelta) (reference expandEnvelope): one degree of longitude spans
+        # cos(lat) fewer meters away from the equator, so above ~25 deg the
+        # flat 1.1 fudge alone under-expands the bbox and drops true pairs.
         # The refine below then computes haversine distance in meters.
         import math as _math
 
         meter_rad = rad
         rad = rad / F.lit(6357000.0) * F.lit(180.0 / _math.pi) * F.lit(1.1)
+        worst_abs_lat = F.greatest(
+            F.abs(F.col(lp + "ymin") - rad), F.abs(F.col(lp + "ymax") + rad)
+        )
+        lon_scale = F.lit(1.0) / F.cos(F.radians(F.least(worst_abs_lat, F.lit(89.9))))
 
     if mode == "circle":
         half_diag = (
@@ -400,12 +449,17 @@ def distance_join(
         rad = F.greatest(rad, half_diag)
         cx = (F.col(lp + "xmin") + F.col(lp + "xmax")) / 2.0
         cy = (F.col(lp + "ymin") + F.col(lp + "ymax")) / 2.0
-        exp = {"xmin": cx - rad, "ymin": cy - rad, "xmax": cx + rad, "ymax": cy + rad}
+        exp = {
+            "xmin": cx - rad * lon_scale,
+            "ymin": cy - rad,
+            "xmax": cx + rad * lon_scale,
+            "ymax": cy + rad,
+        }
     else:
         exp = {
-            "xmin": F.col(lp + "xmin") - rad,
+            "xmin": F.col(lp + "xmin") - rad * lon_scale,
             "ymin": F.col(lp + "ymin") - rad,
-            "xmax": F.col(lp + "xmax") + rad,
+            "xmax": F.col(lp + "xmax") + rad * lon_scale,
             "ymax": F.col(lp + "ymax") + rad,
         }
     lft = lft.withColumn("__iss_rad", rad)
@@ -422,8 +476,12 @@ def distance_join(
         )
 
     row_id = "__iss_lid"
-    if how != "inner":
+    if how in _LEFT_ID_HOWS:
         lft = lft.withColumn(row_id, F.monotonically_increasing_id()).persist()
+    elif how == "right_outer":
+        rgt = rgt.withColumn(row_id, F.monotonically_increasing_id()).persist()
+    elif how != "inner":
+        raise ValueError(f"unsupported how={how!r}")
 
     le = _explode_cells(lft, grid, "e_")
     re = _explode_cells(rgt, grid, rp)
@@ -511,6 +569,10 @@ def distance_join(
 
     if how == "inner":
         return inner
+    if how == "right_outer":
+        return _finish_right_outer(
+            rgt, inner, row_id, rp, list(left.columns), list(right.columns)
+        )
     left_plain = lft.select(*[F.col(lp + c).alias(c) for c in left.columns], F.col(row_id))
     return _finish_how(left_plain, inner, how, row_id, list(left.columns))
 

@@ -115,38 +115,51 @@ def knn_join(
     density = max(n_right / float(n * n), 1e-12)
     r0 = int(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0))
     r0 = max(1, min(r0, n))
-    schedule = [r0]
-    if 2 * r0 + 1 < n:
-        if 2 * (8 * r0) + 1 < n:
-            schedule.append(8 * r0)
-        schedule.append(n)
+    # Ring schedule.  A clipped ring R >= n-1 reaches every cell from any cell,
+    # so it IS full coverage and may be final.  Any smaller ring must be
+    # followed by more rounds (a ring < n-1 only searches a clipped square —
+    # treating it as final returns wrong/empty results for border stragglers).
+    # The last round is a broadcast cross join of the (few) remaining
+    # stragglers against the right side: full coverage with no n^2-cell
+    # explode of the ring form.
+    schedule: list[tuple[str, int | None]] = []
+    if r0 >= n - 1:
+        schedule.append(("ring", n - 1))
+    else:
+        schedule.append(("ring", r0))
+        if 8 * r0 < n - 1:
+            schedule.append(("ring", 8 * r0))
+        schedule.append(("cross", None))
 
     results = None
     pending = lp.persist()
     to_unpersist = []
-    for rnd, R in enumerate(schedule):
+    for rnd, (kind_r, R) in enumerate(schedule):
         final_round = rnd == len(schedule) - 1
-        # explode pending points to their (2R+1)^2 neighbor cells, clipped
-        dxs = F.sequence(
-            F.greatest(F.lit(0), F.col("__ix") - R),
-            F.least(F.lit(n - 1), F.col("__ix") + R),
-        )
-        dys = F.sequence(
-            F.greatest(F.lit(0), F.col("__iy") - R),
-            F.least(F.lit(n - 1), F.col("__iy") + R),
-        )
-        cells = F.flatten(
-            F.transform(
-                dxs,
-                lambda jx: F.transform(
-                    dys,
-                    lambda jy: F.shiftleft(F.lit(grid.level).cast("long"), 58)
-                    .bitwiseOR(F.shiftleft(jx, 29))
-                    .bitwiseOR(jy),
-                ),
+        if kind_r == "cross":
+            cand = F.broadcast(pending).crossJoin(rp.drop("__cell"))
+        else:
+            # explode pending points to their (2R+1)^2 neighbor cells, clipped
+            dxs = F.sequence(
+                F.greatest(F.lit(0), F.col("__ix") - R),
+                F.least(F.lit(n - 1), F.col("__ix") + R),
             )
-        )
-        cand = pending.withColumn("__cell", F.explode(cells)).join(rp, "__cell")
+            dys = F.sequence(
+                F.greatest(F.lit(0), F.col("__iy") - R),
+                F.least(F.lit(n - 1), F.col("__iy") + R),
+            )
+            cells = F.flatten(
+                F.transform(
+                    dxs,
+                    lambda jx: F.transform(
+                        dys,
+                        lambda jy: F.shiftleft(F.lit(grid.level).cast("long"), 58)
+                        .bitwiseOR(F.shiftleft(jx, 29))
+                        .bitwiseOR(jy),
+                    ),
+                )
+            )
+            cand = pending.withColumn("__cell", F.explode(cells)).join(rp, "__cell")
         cand = cand.withColumn(
             dist_col,
             F.sqrt(

@@ -36,8 +36,9 @@ def rs_multiply(a: Column, b: Column) -> Column:
 
 
 def rs_divide(a: Column, b: Column) -> Column:
-    # reference rounds to 2 decimals (MapAlgebra.scala RS_Divide)
-    return F.zip_with(a, b, lambda x, y: F.round(y / x, 2))
+    # reference divideBands computes band1/band2, rounded to 2 decimals
+    # (MapAlgebra.scala RS_Divide; the argument swap is correct for RS_Subtract only)
+    return F.zip_with(a, b, lambda x, y: F.round(x / y, 2))
 
 
 def rs_multiply_factor(a: Column, factor) -> Column:
