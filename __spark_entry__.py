@@ -19,8 +19,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from incubator_sedona_spark.cells import Grid
 from incubator_sedona_spark.functions.st import st_point, st_polygon_from_envelope
@@ -149,6 +152,82 @@ def q_polygon_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = spatial_join(za, zb, "intersects", grid=GRID_POLY)
     return j.select("lid", "rid")
+
+
+_L_S = 12.0  # L-zone arm thickness; zone = [0,2s]x[0,s] U [0,s]x[s,2s] at (x0,y0)
+
+
+def _l_zones(spark: SparkSession, sf_dir: str, off: float, id_name: str) -> DataFrame:
+    """Concave L-shaped zone per nation key (exercises the general overlay:
+    24x24 footprint on a 20-step lattice, so neighbors overlap)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    x0 = (F.col("n_nationkey") % 5) * 20.0 + off
+    y0 = ((F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5) * 20.0 + off
+
+    @F.pandas_udf(BinaryType())
+    def _l_wkb(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        s = _L_S
+        out = []
+        for a, b in zip(xs, ys):
+            ring = np.array(
+                [
+                    (a, b), (a + 2 * s, b), (a + 2 * s, b + s),
+                    (a + s, b + s), (a + s, b + 2 * s), (a, b + 2 * s), (a, b),
+                ]
+            )
+            out.append(W.dumps(W.Geometry(W.POLYGON, [ring])))
+        return pd.Series(out)
+
+    return n.select(
+        F.col("n_nationkey").alias(id_name), _l_wkb(x0, y0).alias("wkb")
+    )
+
+
+def q_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave x concave overlay through the general clipping kernel:
+    pairwise intersection/difference/symdifference areas of two families of
+    L-shaped zones; the oracle recomputes areas from the zones' disjoint
+    rectangle decompositions (axis-aligned integer geometry => exact)."""
+    from incubator_sedona_spark.functions.overlay import (
+        st_difference,
+        st_intersection,
+        st_sym_difference,
+    )
+    from incubator_sedona_spark.functions.st import st_area
+
+    za = _l_zones(spark, sf_dir, 0.0, "lid")
+    zb = _l_zones(spark, sf_dir, 6.0, "rid")
+    j = spatial_join(za, zb, "intersects", grid=GRID_POLY)
+    j = (
+        j.withColumn("__inter", st_intersection(F.col("wkb"), F.col("wkb_r")))
+        .withColumn("__diff", st_difference(F.col("wkb"), F.col("wkb_r")))
+        .withColumn("__sym", st_sym_difference(F.col("wkb"), F.col("wkb_r")))
+    )
+    j = (
+        j.withColumn("inter_area", st_area(F.col("__inter")))
+        .withColumn("diff_area", st_area(F.col("__diff")))
+        .withColumn("sym_area", st_area(F.col("__sym")))
+        .where(F.col("inter_area") > 0)
+    )
+    return j.select(
+        "lid",
+        "rid",
+        F.round("inter_area", 6).alias("inter_area"),
+        F.round("diff_area", 6).alias("diff_area"),
+        F.round("sym_area", 6).alias("sym_area"),
+    )
+
+
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolving ST_Union_Aggr over 25 mutually-overlapping concave zones;
+    the oracle counts distinct integer unit cells covered (exact for
+    integer-aligned geometry)."""
+    from incubator_sedona_spark.functions.overlay import st_union_aggr
+    from incubator_sedona_spark.functions.st import st_area
+
+    za = _l_zones(spark, sf_dir, 0.0, "lid")
+    u = st_union_aggr(za.select("wkb"))
+    return u.select(F.round(st_area(F.col("union_wkb")), 6).alias("union_area"))
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,23 +368,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (LSH banding not ANSI-expressible) -> rows-only check
+    """LSH banding generates candidates; the exact char-5-shingle Jaccard
+    verify makes the emitted pair set equal to the all-pairs oracle (a pair at
+    the 0.8 threshold escapes the 32x2 banding with probability ~1e-14)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
+    return DD.minhash_lsh_dup_pairs(d, threshold=0.8, verify="exact").select(
+        "id_a", "id_b"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-token SimHash is engine-reproducible: the oracle recomputes the
+    same 64 bit-votes from md5 hex in SQL, then filters all pairs by exact
+    Hamming distance; the Spark side finds candidates via 3-of-6 block keys
+    (exact for hamming <= 3)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_dup_pairs(d, max_hamming=3).select("id_a", "id_b")
+    return DD.simhash_dup_pairs(d, max_hamming=3).select("id_a", "id_b", "hamming")
 
 
 def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-table hyperplane LSH (64 tables x 2 planes) + exact cosine
+    verify; at the 0.4 threshold a qualifying pair is missed with probability
+    ~6e-14, so the result equals the all-pairs oracle."""
     e = _t(spark, sf_dir, "embeddings")
-    # synthetic embeddings are near-orthogonal (max pairwise cos ~0.5): use a
-    # low threshold so the operator demonstrably emits pairs
-    return DD.embedding_cosine_dup_pairs(e, threshold=0.35, num_planes=6).select(
-        "id_a", "id_b"
-    )
+    return DD.embedding_cosine_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
 
 
 def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +414,34 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.8).select("id_a", "id_b")
+
+
+def _simhash_oracle_sql() -> str:
+    """All-pairs SimHash hamming filter, recomputing the md5-token signature
+    bit-for-bit in SQL (same votes as pipeline.dedup.simhash64)."""
+    hexval = lambda start: " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    votes = ", ".join(
+        f"sum(((CAST({'lo' if b < 32 else 'hi'} AS BIGINT) >> {b if b < 32 else b - 32}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    ham = " + ".join(
+        f"CASE WHEN (a.v{b} > 0) <> (b.v{b} > 0) THEN 1 ELSE 0 END" for b in range(64)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        bits AS (SELECT doc_id, {hexval(1)} AS hi, {hexval(9)} AS lo FROM h),
+        v AS (SELECT doc_id, {votes} FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(({ham}) AS INTEGER) AS hamming
+        FROM v a JOIN v b ON a.doc_id < b.doc_id
+        WHERE ({ham}) <= 3
+    """
 
 
 # -- driver contract -------------------------------------------------------------
@@ -376,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "overlay_area": q_overlay_area,
+        "union_area": q_union_area,
     }
 
 
@@ -385,6 +501,43 @@ def _lon_sql(k: str) -> str:
 
 def _lat_sql(k: str) -> str:
     return _SQL_LAT.format(k=k)
+
+
+def _overlay_oracle_sql() -> str:
+    """Pairwise L-zone overlay areas from disjoint rectangle decompositions:
+    area(A∩B) = sum of rect-pair overlaps; diff/sym follow by inclusion-
+    exclusion (area(A\\B) = area(A) - area(A∩B))."""
+    s = _L_S
+    rects = [(0.0, 0.0, 2 * s, s), (0.0, s, s, 2 * s)]
+    area_one = 2 * s * s + s * s
+    terms = []
+    for ax0, ay0, ax1, ay1 in rects:
+        for bx0, by0, bx1, by1 in rects:
+            terms.append(
+                f"greatest(0, least(a.x0 + {ax1}, b.x0 + {bx1}) - greatest(a.x0 + {ax0}, b.x0 + {bx0}))"
+                f" * greatest(0, least(a.y0 + {ay1}, b.y0 + {by1}) - greatest(a.y0 + {ay0}, b.y0 + {by0}))"
+            )
+    inter = " + ".join(terms)
+    return f"""
+        WITH za AS (
+          SELECT n_nationkey AS lid,
+                 (n_nationkey % 5) * 20.0 AS x0,
+                 ((n_nationkey - n_nationkey % 5) / 5) * 20.0 AS y0
+          FROM nation
+        ),
+        zb AS (
+          SELECT n_nationkey AS rid,
+                 (n_nationkey % 5) * 20.0 + 6.0 AS x0,
+                 ((n_nationkey - n_nationkey % 5) / 5) * 20.0 + 6.0 AS y0
+          FROM nation
+        ),
+        p AS (SELECT lid, rid, {inter} AS ia FROM za a, zb b)
+        SELECT lid, rid,
+               round(ia, 6) AS inter_area,
+               round({area_one} - ia, 6) AS diff_area,
+               round(2 * {area_one} - 2 * ia, 6) AS sym_area
+        FROM p WHERE ia > 0
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -563,6 +716,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
         """,
-        # minhash_pairs / simhash_pairs / embed_dup_pairs / ngram_jaccard_pairs:
-        # LSH banding is not ANSI-expressible -> rows-only checks.
+        # The LSH queries verify candidates EXACTLY (char-shingle jaccard /
+        # md5-bit hamming / cosine), so their oracles are plain all-pairs
+        # filters over the same exact measure — LSH only prunes the search.
+        "minhash_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents
+            ),
+            e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b FROM p
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
+        "simhash_pairs": _simhash_oracle_sql(),
+        "overlay_area": _overlay_oracle_sql(),
+        "union_area": """
+            WITH z AS (
+              SELECT (n_nationkey % 5) * 20 AS x0,
+                     CAST((n_nationkey - n_nationkey % 5) / 5 AS INTEGER) * 20 AS y0
+              FROM nation
+            ),
+            cells AS (
+              SELECT DISTINCT z.x0 + i.i AS cx, z.y0 + j.j AS cy
+              FROM z, generate_series(0, 23) i(i), generate_series(0, 23) j(j)
+              WHERE (i.i < 24 AND j.j < 12) OR (i.i < 12 AND j.j < 24)
+            )
+            SELECT round(CAST(count(*) AS DOUBLE), 6) AS union_area FROM cells
+        """,
+        "embed_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(0, len(t) - 3)),
+                       i -> array_to_string(t[i+1:i+3], ' '))) AS grams
+              FROM toks
+            ),
+            e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b FROM p
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
     }

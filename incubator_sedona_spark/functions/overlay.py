@@ -2,17 +2,14 @@
 
 Reference surface: ST_Intersection / ST_Union / ST_Difference /
 ST_SymDifference (Catalog.scala:72-75) and the three spatial aggregates
-(AggregateFunctions.scala:56-170).  Without a full polygon-clipping library in
-this environment, the engine implements the exactly-solvable subset and is
-explicit about the rest:
+(AggregateFunctions.scala:56-170).
 
-- ``st_intersection``: exact when either geometry is convex (Sutherland-
-  Hodgman clip); point/line cases exact; raises for concave x concave.
-- ``st_union_collect``: assembles a Multi*/GeometryCollection without
-  dissolving (exact WHEN inputs are disjoint — the common tiling case).
-- ``st_envelope_aggr``: exact, pure native min/max aggregation (the same
-  two-stage partial/final merge the reference gets from the Aggregator
-  contract comes free from Spark's HashAggregate).
+Polygon x polygon Boolean ops go through the general overlay kernel
+(geom/clip.py): concave, holed and multi inputs are all supported, and
+``st_union_aggr`` dissolves (two-stage: salted partial unions, then a final
+merge — the Aggregator reduce/merge contract expressed as two hash
+aggregations).  Point and line operands keep the direct special cases.
+``st_envelope_aggr`` stays a pure native min/max aggregation.
 """
 
 from __future__ import annotations
@@ -22,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
+from incubator_sedona_spark.geom import clip as CL
 from incubator_sedona_spark.geom import kernel as K
 from incubator_sedona_spark.geom import wkb as W
 
@@ -71,33 +69,138 @@ def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return np.array(out) if out else np.empty((0, 2))
 
 
+def _is_line(g: W.Geometry) -> bool:
+    leaves = list(g.leaves())
+    return bool(leaves) and all(l.kind == W.LINESTRING for l in leaves)
+
+
+def clip_line_to_polygon(line: W.Geometry, poly: W.Geometry) -> W.Geometry:
+    """line ∩ polygon: split line edges at the polygon boundary, keep covered
+    sub-edges (closed test) — MultiLineString result."""
+    le = CL._edges_of_rings([l.parts for l in line.leaves() if l.kind == W.LINESTRING])
+    pr = CL.rings_of_geometry(poly)
+    pe = CL._edges_of_rings(pr)
+    eps = CL._scale_of(le, pe) * 1e-9
+    subs = CL._subdivide(le, CL._split_params(le, pe, eps))
+    if len(subs) == 0:
+        return W.multi(W.GEOMETRYCOLLECTION, [])
+    mids = np.column_stack([(subs[:, 0] + subs[:, 2]) / 2, (subs[:, 1] + subs[:, 3]) / 2])
+    inside, bnd = K.point_in_polygon(poly, mids)
+    keep = subs[inside | bnd]
+    parts = [W.Geometry(W.LINESTRING, np.array([s[0:2], s[2:4]])) for s in keep]
+    if not parts:
+        return W.multi(W.GEOMETRYCOLLECTION, [])
+    return parts[0] if len(parts) == 1 else W.multi(W.MULTILINESTRING, parts)
+
+
 def intersection_pair(a: W.Geometry, b: W.Geometry) -> W.Geometry:
-    """Geometric intersection for the exactly-solvable subset."""
+    """Geometric intersection: exact for point/line/polygon operands of any
+    shape (concave, holed, multi) via the overlay kernel."""
     if a.kind == W.POINT:
         return a if K.predicate_pair("intersects", a, b) else W.multi(W.GEOMETRYCOLLECTION, [])
     if b.kind == W.POINT:
         return b if K.predicate_pair("intersects", a, b) else W.multi(W.GEOMETRYCOLLECTION, [])
-    if a.kind == W.POLYGON and b.kind == W.POLYGON and len(a.parts) == 1 and len(b.parts) == 1:
-        if _is_convex(b.parts[0]):
-            ring = _clip_convex(a.parts[0], b.parts[0])
-        elif _is_convex(a.parts[0]):
-            ring = _clip_convex(b.parts[0], a.parts[0])
-        else:
-            raise NotImplementedError("concave x concave intersection needs a clipping library")
-        if len(ring) < 3:
-            return W.multi(W.GEOMETRYCOLLECTION, [])
-        return W.polygon(ring)
+    if _is_line(a) and K._is_polygonal(b):
+        return clip_line_to_polygon(a, b)
+    if _is_line(b) and K._is_polygonal(a):
+        return clip_line_to_polygon(b, a)
+    if K._is_polygonal(a) and K._is_polygonal(b):
+        # fast exact path for the common convex case, general overlay otherwise
+        if (
+            a.kind == W.POLYGON and b.kind == W.POLYGON
+            and len(a.parts) == 1 and len(b.parts) == 1
+            and (_is_convex(a.parts[0]) or _is_convex(b.parts[0]))
+        ):
+            if _is_convex(b.parts[0]):
+                ring = _clip_convex(a.parts[0], b.parts[0])
+            else:
+                ring = _clip_convex(b.parts[0], a.parts[0])
+            if len(ring) < 3:
+                return W.multi(W.GEOMETRYCOLLECTION, [])
+            return W.polygon(ring)
+        return CL.overlay_geoms(a, b, "intersection")
     raise NotImplementedError(f"intersection for kinds ({a.kind}, {b.kind})")
 
 
-def st_intersection(a: Column, b: Column) -> Column:
+def overlay_pair(a: W.Geometry, b: W.Geometry, op: str) -> W.Geometry:
+    """union / difference / symdifference for polygonal operands (dissolving)."""
+    if op == "intersection":
+        return intersection_pair(a, b)
+    if not (K._is_polygonal(a) and K._is_polygonal(b)):
+        raise NotImplementedError(f"{op} implemented for polygonal operands")
+    return CL.overlay_geoms(a, b, op)
+
+
+def _overlay_udf(op: str):
     @F.pandas_udf(BinaryType())
     def _f(l: pd.Series, r: pd.Series) -> pd.Series:
         return pd.Series(
-            [W.dumps(intersection_pair(W.loads(x), W.loads(y))) for x, y in zip(l, r)]
+            [W.dumps(overlay_pair(W.loads(x), W.loads(y), op)) for x, y in zip(l, r)]
         )
 
-    return _f(a, b)
+    return _f
+
+
+def st_intersection(a: Column, b: Column) -> Column:
+    return _overlay_udf("intersection")(a, b)
+
+
+def st_union(a: Column, b: Column) -> Column:
+    """Dissolving pairwise union (general overlay)."""
+    return _overlay_udf("union")(a, b)
+
+
+def st_difference(a: Column, b: Column) -> Column:
+    return _overlay_udf("difference")(a, b)
+
+
+def st_sym_difference(a: Column, b: Column) -> Column:
+    return _overlay_udf("symdifference")(a, b)
+
+
+def st_union_aggr(
+    df: DataFrame,
+    geom_col: str = "wkb",
+    group_by: list | None = None,
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Dissolving ST_Union_Aggr (AggregateFunctions.scala:56-70).
+
+    Two-stage, mirroring the Aggregator reduce/merge contract: rows are salted
+    into ``partial_buckets`` groups, each bucket dissolves its geometries with
+    one N-ary overlay (union_many — cost bounded by edge + crossing counts,
+    not by a pairwise fold), then the partials merge in a final union.  Both
+    stages are hash aggregations, so the heavy geometry never converges on the
+    driver.  Output column: ``union_wkb``.
+    """
+    gb = group_by or []
+
+    @F.pandas_udf(BinaryType())
+    def _union_lists(geom_lists: pd.Series) -> pd.Series:
+        out = []
+        for lst in geom_lists:
+            ring_sets = [CL.rings_of_geometry(W.loads(b)) for b in lst]
+            rings = CL.union_many(ring_sets)
+            edges = CL._edges_of_rings(rings)
+            eps = CL._scale_of(edges) * 1e-9
+            out.append(W.dumps(CL.rings_to_geometry(rings, eps)))
+        return pd.Series(out)
+
+    salt = F.pmod(F.xxhash64(F.col(geom_col)), F.lit(partial_buckets)).alias("__salt")
+    partial = (
+        df.select(*gb, F.col(geom_col), salt)
+        .groupBy(*gb, "__salt")
+        .agg(F.collect_list(geom_col).alias("__geoms"))
+        .withColumn("__partial", _union_lists(F.col("__geoms")))
+        .drop("__geoms")
+    )
+    final = (
+        partial.groupBy(*gb)
+        .agg(F.collect_list("__partial").alias("__geoms"))
+        .withColumn("union_wkb", _union_lists(F.col("__geoms")))
+        .drop("__geoms", "__salt")
+    )
+    return final
 
 
 def st_union_collect(a: Column, b: Column) -> Column:

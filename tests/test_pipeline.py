@@ -73,12 +73,57 @@ def test_minhash_lsh_finds_planted_dups(spark):
     assert all({a, b} <= {0, 1, 3} for a, b in pairs)
 
 
-def test_simhash_pairs(spark):
-    base = "spark engines process arrow batches with vectorized kernels " * 4
-    rows = [(0, base), (1, base + "tail"), (2, "zebra xylophone quantum %d" )]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = {(r.id_a, r.id_b) for r in D.simhash_dup_pairs(df, max_hamming=8).collect()}
-    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+def _py_simhash(text: str) -> int:
+    """Independent oracle for pipeline.dedup.simhash64 (md5-token votes)."""
+    import hashlib
+    import re
+
+    toks = set(re.split(r"\s+", text.strip()))
+    votes = [0] * 64
+    for tok in toks:
+        m = hashlib.md5(tok.encode()).hexdigest()
+        hi, lo = int(m[0:8], 16), int(m[8:16], 16)
+        for b in range(64):
+            bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+            votes[b] += 2 * bit - 1
+    return sum(1 << b for b in range(64) if votes[b] > 0)
+
+
+def test_simhash_matches_python_oracle(spark):
+    texts = [
+        "spark engines process arrow batches with vectorized kernels",
+        "spark engines process arrow batches with vectorized kernels",  # dup
+        "zebra xylophone quantum flux capacitor",
+        "the quick brown fox jumps over the lazy dog",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    for i, t in enumerate(texts):
+        expected = _py_simhash(t)
+        # spark stores the signature as a signed long (bit 63 may be set)
+        assert got[i] & ((1 << 64) - 1) == expected, i
+
+
+def test_simhash_pairs_match_allpairs_hamming(spark):
+    texts = [
+        "spark engines process arrow batches with vectorized kernels",
+        "spark engines process arrow batches with vectorized kernels",
+        "zebra xylophone quantum flux capacitor",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sims = [_py_simhash(t) for t in texts]
+    expected = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if bin(sims[i] ^ sims[j]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in D.simhash_dup_pairs(df, max_hamming=3).collect()}
+    assert got == expected
+    assert (0, 1) in got  # identical docs: hamming 0
 
 
 def test_ngram_jaccard(spark):
@@ -120,5 +165,56 @@ def test_embedding_cosine_dup_pairs(spark):
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["vec_id", "embedding"])
     )
-    pairs = {(r.id_a, r.id_b) for r in D.embedding_cosine_dup_pairs(df, threshold=0.95, num_planes=6).collect()}
+    pairs = {(r.id_a, r.id_b) for r in D.embedding_cosine_dup_pairs(df, threshold=0.95).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_embedding_lsh_recall_matches_allpairs(spark, embs):
+    """Banded multi-table LSH + exact verify == brute-force all-pairs on the
+    sf0.001 embeddings (the driver-gate contract, at a lower threshold)."""
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    n = len(ids)
+    expected = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cos[i, j] >= 0.4
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dup_pairs(embs, threshold=0.4).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A planted hot bucket (many identical boilerplate docs) is dropped by
+    max_bucket_size while pairs in small buckets are still found."""
+    boiler = [(i, "lorem ipsum dolor sit amet") for i in range(100)]
+    near = [(200, "a genuinely unique document about spatial joins and tiling"),
+            (201, "a genuinely unique document about spatial joins and tiling!")]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = D.minhash_lsh_dup_pairs(
+        df, threshold=0.8, verify="exact", max_bucket_size=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (200, 201) in pairs
+    assert all(a >= 200 for a, _ in pairs)  # no boilerplate pair survived the cap
+    # without the cap the hot bucket contributes ~100*99/2 pairs
+    uncapped = D.minhash_lsh_dup_pairs(df, threshold=0.8, verify="exact").count()
+    assert uncapped == 100 * 99 // 2 + 1
+
+
+def test_ngram_max_df_drops_stop_grams(spark):
+    common = "of the and"
+    rows = [(0, f"{common} unique alpha beta"), (1, f"{common} unique alpha beta"),
+            (2, f"{common} totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # df cap of 2: the shared stop-gram "of the and" (df=3) is excluded from
+    # the gram sets, so doc 2 shares nothing with 0/1; 0-1 still match
+    got = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=2).collect()}
+    assert got == {(0, 1)}
