@@ -39,9 +39,13 @@ def _ensure_images(spark, path=BENCH_IMAGES, n=N_IMAGES):
     return spark.read.parquet(path)
 
 
-def flagship_images_pipeline(spark):
+def flagship_images_pipeline(spark, imgs=None):
     """images -> derived points (native bit math) -> PIP join vs zones ->
-    tile assignment -> per-(zone, tile) counts.  The north-star pipeline."""
+    tile assignment -> per-(zone, tile) counts.  The north-star pipeline.
+
+    Pass a persisted ``imgs`` to measure the plan rather than this sandbox's
+    ~50 MB/s virtual disk (the 1 GB bytes column re-read per run otherwise
+    dominates and swings the artifact run-to-run)."""
     import __spark_entry__ as E
     from incubator_sedona_spark.cells import Grid
     from incubator_sedona_spark.operators.joins import spatial_join
@@ -50,7 +54,8 @@ def flagship_images_pipeline(spark):
     from incubator_sedona_spark.sources.datagen import zones_df
     from incubator_sedona_spark.sources.images import with_derived_points
 
-    imgs = _ensure_images(spark)
+    if imgs is None:
+        imgs = _ensure_images(spark)
     pts = with_derived_points(imgs).select("image_id", "lon", "lat")
     zones = zones_df(spark)
     grid = Grid(0.0, 0.0, 100.01, 100.01, 5)
@@ -62,42 +67,57 @@ def flagship_images_pipeline(spark):
     return tiled.groupBy("zone_id", "tile_x", "tile_y").agg(F.count("*").alias("cnt"))
 
 
-def run_default():
+BENCH_QUERIES = [
+    "pip_join_pairs",
+    "pip_count_by_zone",
+    "distance_join_pairs",
+    "knn_join",
+    "tile_assign",
+    "polygon_dedup_join",
+    "overlay_area",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "minhash_pairs",
+    "ann_topk",
+]
+
+
+def run_default(reps: int = 3):
+    """Per-query MEDIAN of ``reps`` timed runs, after an untimed warmup pass
+    that touches EVERY query (each query family spins up its own Python/Arrow
+    worker state; warming only one query leaves the others paying 10-30s of
+    cold start, which made the round-1 artifact swing 12x run-to-run)."""
+    import statistics
+
     spark = get_spark(app_name="iss-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     import __spark_entry__ as E
 
-    n_images = _ensure_images(spark).count()  # generate outside the timed region
-
-    # warmup: spin up Python workers / Arrow serializers / JIT once, untimed
-    E.queries()["pip_join_pairs"](spark, SF_DIR).count()
-    flagship_images_pipeline(spark).count()
-
-    bench_queries = [
-        "pip_join_pairs",
-        "pip_count_by_zone",
-        "distance_join_pairs",
-        "knn_join",
-        "tile_assign",
-        "polygon_dedup_join",
-        "tpch_q1",
-        "tpch_q3_top10",
-        "doc_token_stats",
-        "doc_fingerprint",
-        "minhash_pairs",
-        "ann_topk",
-    ]
+    imgs = _ensure_images(spark).persist()
+    n_images = imgs.count()  # generate + warm the cache outside the timed region
     qs = E.queries()
-    times: dict[str, float] = {}
-    for name in bench_queries:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    res = flagship_images_pipeline(spark)
-    res.count()
-    flagship_sec = round(time.time() - t0, 3)
+    # untimed warmup: every benched query once + the flagship pipeline
+    for name in BENCH_QUERIES:
+        qs[name](spark, SF_DIR).count()
+    flagship_images_pipeline(spark, imgs).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 3)
+
+    fs = []
+    for _ in range(reps):
+        t0 = time.time()
+        flagship_images_pipeline(spark, imgs).count()
+        fs.append(time.time() - t0)
+    flagship_sec = round(statistics.median(fs), 3)
     times["flagship_join_tiling"] = flagship_sec
 
     total = round(sum(times.values()), 3)
@@ -109,6 +129,7 @@ def run_default():
         "sf": SF_DIR,
         "images_per_sec": round(n_images / flagship_sec, 1) if flagship_sec else None,
         "cpus": CPUS,
+        "protocol": "median_of_%d_after_full_warmup" % reps,
     }
     print(json.dumps(out))
     spark.stop()

@@ -107,6 +107,90 @@ class Grid:
                     out.append((np.int64(self.level) << 58) | (np.int64(jx) << 29) | np.int64(jy))
         return np.array(out, dtype=np.int64)
 
+    def _edge_cells(self, x1: float, y1: float, x2: float, y2: float) -> set:
+        """Supercover: (ix, iy) of every cell a segment passes through.
+
+        Crossing-midpoint method: split the segment at every gridline
+        crossing; each sub-interval's midpoint identifies one cell.  Exact
+        corner passes add the 4 surrounding cells and run-along-gridline
+        segments add both adjacent cells, so the cover stays a superset of
+        all intersecting cells (join safety: losing a cell loses pairs)."""
+        n = self.n
+        u1, v1 = (x1 - self.minx) / self.cw, (y1 - self.miny) / self.ch
+        u2, v2 = (x2 - self.minx) / self.cw, (y2 - self.miny) / self.ch
+        ts = {0.0, 1.0}
+        if u1 != u2:
+            lo, hi = min(u1, u2), max(u1, u2)
+            for gx in range(int(np.ceil(lo)), int(np.floor(hi)) + 1):
+                ts.add((gx - u1) / (u2 - u1))
+        if v1 != v2:
+            lo, hi = min(v1, v2), max(v1, v2)
+            for gy in range(int(np.ceil(lo)), int(np.floor(hi)) + 1):
+                ts.add((gy - v1) / (v2 - v1))
+        ts = sorted(t for t in ts if 0.0 <= t <= 1.0)
+        eps = 1e-9
+        cells: set = set()
+
+        def add(u: float, v: float, both_if_on_line: bool):
+            iu, iv = np.floor(u), np.floor(v)
+            on_u = abs(u - round(u)) <= eps
+            on_v = abs(v - round(v)) <= eps
+            us = [int(round(u)) - 1, int(round(u))] if (on_u and both_if_on_line) else [int(iu)]
+            vs = [int(round(v)) - 1, int(round(v))] if (on_v and both_if_on_line) else [int(iv)]
+            for a in us:
+                for b in vs:
+                    if 0 <= a < n and 0 <= b < n:
+                        cells.add((a, b))
+
+        for ta, tb in zip(ts[:-1], ts[1:]):
+            tm = (ta + tb) / 2.0
+            add(u1 + tm * (u2 - u1), v1 + tm * (v2 - v1), both_if_on_line=True)
+        for t in ts:  # crossing points / endpoints: conservative 4-neighborhood
+            add(u1 + t * (u2 - u1), v1 + t * (v2 - v1), both_if_on_line=True)
+        return cells
+
+    def cover_geometry(self, g) -> np.ndarray:
+        """Cells ACTUALLY intersecting the geometry — shape-following covering
+        (reference S2 region covering analog, common/.../utils/S2Utils.java:46-52).
+
+        Boundary cells come from an edge supercover; interior cells from a
+        vectorized center-in-polygon test over the bbox cell range.  A long
+        diagonal geometry covers O(length) cells instead of its O(area) bbox,
+        which is what keeps candidate counts linear at scale."""
+        from incubator_sedona_spark.geom import kernel as K
+        from incubator_sedona_spark.geom import wkb as W
+
+        mask = (1 << 29) - 1
+        cells: set = set()
+        polygonal = False
+        for leaf in g.leaves():
+            if leaf.kind == W.POINT:
+                c = int(self.point_cells(leaf.parts[0, 0], leaf.parts[0, 1]))
+                cells.add(((c >> 29) & mask, c & mask))
+            elif leaf.kind == W.POLYGON:
+                polygonal = True
+        for e in g.edges():
+            cells |= self._edge_cells(e[0], e[1], e[2], e[3])
+        if polygonal:
+            xmin, ymin, xmax, ymax = g.bounds
+            ix0 = int(np.clip(np.floor((xmin - self.minx) / self.cw), 0, self.n - 1))
+            iy0 = int(np.clip(np.floor((ymin - self.miny) / self.ch), 0, self.n - 1))
+            ix1 = int(np.clip(np.floor((xmax - self.minx) / self.cw), 0, self.n - 1))
+            iy1 = int(np.clip(np.floor((ymax - self.miny) / self.ch), 0, self.n - 1))
+            gx, gy = np.meshgrid(
+                np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1), indexing="ij"
+            )
+            cx = self.minx + (gx.ravel() + 0.5) * self.cw
+            cy = self.miny + (gy.ravel() + 0.5) * self.ch
+            inside, bnd = K.point_in_polygon(g, np.column_stack([cx, cy]))
+            for a, b in zip(gx.ravel()[inside | bnd], gy.ravel()[inside | bnd]):
+                cells.add((int(a), int(b)))
+        if not cells:
+            # degenerate/outside-grid geometry: fall back to clamped bbox cover
+            return self.cover_bbox(*g.bounds)
+        arr = np.array(sorted(cells), dtype=np.int64)
+        return self.pack(arr[:, 0], arr[:, 1])
+
     def quadkey(self, cell: int) -> str:
         """Base-4 lineage string for a cell (LineageDecoder analog)."""
         _, ix, iy = self.unpack(cell)

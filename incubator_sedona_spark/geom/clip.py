@@ -68,9 +68,15 @@ def _scale_of(*edge_sets: np.ndarray) -> float:
 
 
 def _eo_inside(edges: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    """Even-odd point-in-region for (m,2) points vs region edges (e,4)."""
+    """Even-odd point-in-region for (m,2) points vs region edges (e,4).
+    Chunked over points to bound the (e x m) broadcast."""
     if len(edges) == 0 or len(pts) == 0:
         return np.zeros(len(pts), dtype=bool)
+    chunk = max(64, int(4e6 // len(edges)))
+    if len(pts) > chunk:
+        return np.concatenate(
+            [_eo_inside(edges, pts[s : s + chunk]) for s in range(0, len(pts), chunk)]
+        )
     x1, y1, x2, y2 = edges[:, 0:1], edges[:, 1:2], edges[:, 2:3], edges[:, 3:4]
     px, py = pts[:, 0][None, :], pts[:, 1][None, :]
     cond = (y1 > py) != (y2 > py)
@@ -80,41 +86,102 @@ def _eo_inside(edges: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return (np.sum(crossings, axis=0) % 2).astype(bool)
 
 
+def _bucket_ids(x0, y0, x1, y1, minx, miny, c):
+    """Inclusive cell-index ranges for bboxes on a uniform grid of size c."""
+    ix0 = np.floor((x0 - minx) / c).astype(np.int64)
+    ix1 = np.floor((x1 - minx) / c).astype(np.int64)
+    iy0 = np.floor((y0 - miny) / c).astype(np.int64)
+    iy1 = np.floor((y1 - miny) / c).astype(np.int64)
+    return ix0, ix1, iy0, iy1
+
+
+def _candidate_pairs(E: np.ndarray, Fs: np.ndarray, eps: float):
+    """(i, j) index arrays of E/F edge pairs whose bboxes may interact —
+    uniform-grid bucketing, OUTPUT-sensitive instead of the |E|x|F| broadcast
+    (all-pairs ufunc passes dominate wall time on big edge sets)."""
+    ex0 = np.minimum(E[:, 0], E[:, 2]) - eps
+    ex1 = np.maximum(E[:, 0], E[:, 2]) + eps
+    ey0 = np.minimum(E[:, 1], E[:, 3]) - eps
+    ey1 = np.maximum(E[:, 1], E[:, 3]) + eps
+    fx0 = np.minimum(Fs[:, 0], Fs[:, 2])
+    fx1 = np.maximum(Fs[:, 0], Fs[:, 2])
+    fy0 = np.minimum(Fs[:, 1], Fs[:, 3])
+    fy1 = np.maximum(Fs[:, 1], Fs[:, 3])
+    minx = min(ex0.min(), fx0.min())
+    miny = min(ey0.min(), fy0.min())
+    c = max(
+        float(np.median(ex1 - ex0)),
+        float(np.median(ey1 - ey0)),
+        float(np.median(fx1 - fx0)),
+        float(np.median(fy1 - fy0)),
+        eps * 16,
+    )
+    fix0, fix1, fiy0, fiy1 = _bucket_ids(fx0, fy0, fx1, fy1, minx, miny, c)
+    buckets: dict[tuple, list[int]] = {}
+    for j in range(len(Fs)):
+        for gx in range(fix0[j], fix1[j] + 1):
+            for gy in range(fiy0[j], fiy1[j] + 1):
+                buckets.setdefault((gx, gy), []).append(j)
+    eix0, eix1, eiy0, eiy1 = _bucket_ids(ex0, ey0, ex1, ey1, minx, miny, c)
+    pi: list[int] = []
+    pj: list[int] = []
+    for i in range(len(E)):
+        cand: set[int] = set()
+        for gx in range(eix0[i], eix1[i] + 1):
+            for gy in range(eiy0[i], eiy1[i] + 1):
+                cand.update(buckets.get((gx, gy), ()))
+        for j in cand:
+            pi.append(i)
+            pj.append(j)
+    if not pi:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    i_arr = np.asarray(pi, dtype=np.int64)
+    j_arr = np.asarray(pj, dtype=np.int64)
+    # exact bbox-overlap filter on the candidate list
+    ok = (
+        (ex0[i_arr] <= fx1[j_arr]) & (fx0[j_arr] <= ex1[i_arr])
+        & (ey0[i_arr] <= fy1[j_arr]) & (fy0[j_arr] <= ey1[i_arr])
+    )
+    return i_arr[ok], j_arr[ok]
+
+
 def _split_params(E: np.ndarray, Fs: np.ndarray, eps: float) -> list[np.ndarray]:
     """For each edge of E, the sorted t-parameters in (0,1) where edges of Fs
-    cross or touch it (proper crossings + F endpoints on the edge)."""
+    cross or touch it (proper crossings + F endpoints on the edge).
+
+    Pair-pruned via grid bucketing: the intersection math runs over the
+    bbox-overlapping pair LIST, never an |E| x |F| matrix."""
     m = len(E)
-    out: list[list[float]] = [[] for _ in range(m)]
     if m == 0 or len(Fs) == 0:
         return [np.empty(0)] * m
-    ax, ay = E[:, 0][:, None], E[:, 1][:, None]
-    bx, by = E[:, 2][:, None], E[:, 3][:, None]
-    cx, cy = Fs[:, 0][None, :], Fs[:, 1][None, :]
-    dx, dy = Fs[:, 2][None, :], Fs[:, 3][None, :]
-    rx, ry = bx - ax, by - ay
-    sx, sy = dx - cx, dy - cy
-    denom = rx * sy - ry * sx
-    qpx, qpy = cx - ax, cy - ay
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (qpx * sy - qpy * sx) / denom
-        u = (qpx * ry - qpy * rx) / denom
-    proper = (np.abs(denom) > eps) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
-    ti, fj = np.nonzero(proper)
-    for i, j in zip(ti, fj):
-        out[i].append(float(t[i, j]))
-    # F endpoints lying on an E edge (T-junction / collinear overlap endpoint)
-    pts = np.concatenate([Fs[:, 0:2], Fs[:, 2:4]], axis=0)
-    ex, ey = pts[:, 0][None, :], pts[:, 1][None, :]
-    ll = rx * rx + ry * ry
-    with np.errstate(divide="ignore", invalid="ignore"):
-        tp = ((ex - ax) * rx + (ey - ay) * ry) / ll
-    tpc = np.clip(tp, 0.0, 1.0)
-    px, py = ax + tpc * rx, ay + tpc * ry
-    d2 = (ex - px) ** 2 + (ey - py) ** 2
-    on = (d2 <= eps * eps) & (tpc > 0) & (tpc < 1)
-    ti, pj = np.nonzero(on)
-    for i, j in zip(ti, pj):
-        out[i].append(float(tpc[i, j]))
+    i_arr, j_arr = _candidate_pairs(E, Fs, eps)
+    out: list[list[float]] = [[] for _ in range(m)]
+    if len(i_arr):
+        ax, ay = E[i_arr, 0], E[i_arr, 1]
+        bx, by = E[i_arr, 2], E[i_arr, 3]
+        cx, cy = Fs[j_arr, 0], Fs[j_arr, 1]
+        dx, dy = Fs[j_arr, 2], Fs[j_arr, 3]
+        rx, ry = bx - ax, by - ay
+        sx, sy = dx - cx, dy - cy
+        denom = rx * sy - ry * sx
+        qpx, qpy = cx - ax, cy - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qpx * sy - qpy * sx) / denom
+            u = (qpx * ry - qpy * rx) / denom
+        proper = (np.abs(denom) > eps) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+        for k in np.nonzero(proper)[0]:
+            out[i_arr[k]].append(float(t[k]))
+        # F endpoints lying on the E edge (T-junction / collinear overlap)
+        ll = rx * rx + ry * ry
+        for px_, py_ in ((cx, cy), (dx, dy)):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tp = ((px_ - ax) * rx + (py_ - ay) * ry) / ll
+            tpc = np.clip(tp, 0.0, 1.0)
+            qx, qy = ax + tpc * rx, ay + tpc * ry
+            d2 = (px_ - qx) ** 2 + (py_ - qy) ** 2
+            on = (d2 <= eps * eps) & (tpc > 0) & (tpc < 1)
+            for k in np.nonzero(on)[0]:
+                out[i_arr[k]].append(float(tpc[k]))
     return [np.unique(np.asarray(v)) if v else np.empty(0) for v in out]
 
 
@@ -129,23 +196,43 @@ def _subdivide(E: np.ndarray, params: list[np.ndarray]) -> np.ndarray:
     return np.concatenate(subs, axis=0) if subs else np.empty((0, 4))
 
 
+def _eo_inside_bboxed(edges: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """_eo_inside restricted to points within the region's bbox — regions in
+    an N-ary union are typically small relative to the full sub-edge set, so
+    this cuts the (edges x points) broadcast to the local neighborhood."""
+    if len(edges) == 0 or len(pts) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    bx0 = min(edges[:, 0].min(), edges[:, 2].min())
+    bx1 = max(edges[:, 0].max(), edges[:, 2].max())
+    by0 = min(edges[:, 1].min(), edges[:, 3].min())
+    by1 = max(edges[:, 1].max(), edges[:, 3].max())
+    cand = (pts[:, 0] >= bx0) & (pts[:, 0] <= bx1) & (pts[:, 1] >= by0) & (pts[:, 1] <= by1)
+    out = np.zeros(len(pts), dtype=bool)
+    idx = np.nonzero(cand)[0]
+    if len(idx):
+        out[idx] = _eo_inside(edges, pts[idx])
+    return out
+
+
 def _keep_mask(
     subs: np.ndarray, region_edges: list[np.ndarray], pred, eps: float
 ) -> np.ndarray:
     """Result-boundary test: predicate differs across the two offset sides."""
     if len(subs) == 0:
         return np.zeros(0, dtype=bool)
-    mx = (subs[:, 0] + subs[:, 2]) / 2.0
-    my = (subs[:, 1] + subs[:, 3]) / 2.0
     dx, dy = subs[:, 2] - subs[:, 0], subs[:, 3] - subs[:, 1]
     ln = np.hypot(dx, dy)
+    ok = ln > 0
+    ln = np.where(ok, ln, 1.0)
+    mx = (subs[:, 0] + subs[:, 2]) / 2.0
+    my = (subs[:, 1] + subs[:, 3]) / 2.0
     nx, ny = -dy / ln, dx / ln
     off = eps * 16.0
     p1 = np.column_stack([mx + nx * off, my + ny * off])
     p2 = np.column_stack([mx - nx * off, my - ny * off])
-    in1 = [_eo_inside(e, p1) for e in region_edges]
-    in2 = [_eo_inside(e, p2) for e in region_edges]
-    return pred(in1) != pred(in2)
+    in1 = [_eo_inside_bboxed(e, p1) for e in region_edges]
+    in2 = [_eo_inside_bboxed(e, p2) for e in region_edges]
+    return ok & (pred(in1) != pred(in2))
 
 
 def _stitch(subs: np.ndarray, eps: float) -> list[np.ndarray]:

@@ -121,6 +121,23 @@ def _explode_cells(df: DataFrame, grid: Grid, prefix: str) -> DataFrame:
     return df.withColumn(_CELL, F.explode(cover))
 
 
+def _explode_cells_shape(df: DataFrame, grid: Grid, geom_col: str) -> DataFrame:
+    """Shape-following covering: cells the geometry ACTUALLY intersects
+    (reference S2 region covering, S2Utils.java:46-52) instead of its bbox.
+
+    One pandas UDF on the (small, usually broadcast) polygon side; a long
+    diagonal river/road covers O(length) cells, not O(area) of its bbox, so
+    candidate counts stay linear.  Join safety relies on the cover being a
+    superset of intersecting cells (cells.Grid.cover_geometry contract).
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(wkbs: pd.Series) -> pd.Series:
+        return pd.Series([grid.cover_geometry(W.loads(b)) for b in wkbs])
+
+    return df.withColumn(_CELL, F.explode(_cover(F.col(geom_col))))
+
+
 def _bbox_prefilter(predicate: str, lp: str, rp: str) -> Column:
     l = {c: F.col(lp + c) for c in BBOX_COLS}
     r = {c: F.col(rp + c) for c in BBOX_COLS}
@@ -260,6 +277,7 @@ def spatial_join(
     refine: bool = True,
     keep_bbox: bool = False,
     right_point_cols: tuple[str, str] | None = None,
+    left_cover: str = "bbox",
 ) -> DataFrame:
     """Join two geometry DataFrames on a spatial predicate.
 
@@ -269,7 +287,14 @@ def spatial_join(
 
     ``broadcast``: "left"/"right" hints Catalyst to broadcast that (exploded)
     side — the BroadcastIndexJoinExec analog; with AQE + size stats Catalyst
-    also auto-broadcasts.  ``how``: inner, left_semi, left_anti, left_outer.
+    also auto-broadcasts.  ``how``: inner, left_semi, left_anti, left_outer,
+    right_outer, existence.
+
+    ``left_cover="shape"`` replaces the left side's bbox cell cover with a
+    shape-following cover (high-aspect geometries stop exploding into their
+    whole bbox).  Requires ``right_point_cols`` (single-cell right side keeps
+    the pair-uniqueness contract without the reference-point rule, whose
+    reference cell may fall outside a shape cover).
     """
     if predicate == "disjoint":
         raise NotImplementedError(
@@ -311,7 +336,12 @@ def spatial_join(
     elif how != "inner":
         raise ValueError(f"unsupported how={how!r}")
 
-    le = _explode_cells(lft, grid, lp)
+    if left_cover == "shape":
+        if right_point_cols is None:
+            raise ValueError("left_cover='shape' requires right_point_cols")
+        le = _explode_cells_shape(lft, grid, lp + left_geom)
+    else:
+        le = _explode_cells(lft, grid, lp)
     re = _explode_cells(rgt, grid, rp)
     if broadcast == "left":
         le = F.broadcast(le)

@@ -167,11 +167,25 @@ def minhash_lsh_dup_pairs(
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    raw = a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+
+    # Band-match-count prefilter: the r=2 banding needed for exhaustive recall
+    # at the threshold also passes millions of moderately-similar pairs on
+    # repetitive corpora.  One all-native groupBy both DEDUPLICATES the pairs
+    # and counts how many of the 32 bands matched; a pair at jaccard j matches
+    # a band with p = j^r, so requiring >= floor(bands*(threshold-0.25)^r)
+    # matches drops the j << threshold flood while a true-qualifying pair
+    # fails the cut with probability ~ exp(-2*bands*(j^r-(threshold-.25)^r)^2)
+    # (~1e-5 at j = threshold = 0.8; the deterministic gate checks the
+    # realized corpus).  The expensive verify then runs on survivors only.
+    min_bands = max(1, int(np.floor(bands * max(threshold - 0.25, 0.0) ** rows_per_band)))
     cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        raw.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__nb"))
+        .where(F.col("__nb") >= min_bands)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
     if verify == "exact":
@@ -196,16 +210,17 @@ def minhash_lsh_dup_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    # estimate mode: join signatures back by id (never through the shuffle)
-    withsig = cand.join(
-        sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")), "id_a"
-    ).join(
-        sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")), "id_b"
-    )
+    # estimate mode: join signatures to the (small) surviving candidate set
+    # by id — signatures never ride the banding shuffle
     agree = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
+    )
+    withsig = cand.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")), "id_a"
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")), "id_b"
     )
     return (
         withsig.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
