@@ -229,10 +229,10 @@ def st_intersection_aggr(df: DataFrame, geom_col: str = "wkb", group_by: list | 
     """ST_Intersection_Aggr (AggregateFunctions.scala:157-170) — the common
     intersection of all geometries per group.
 
-    Exact for CONVEX polygon inputs: convex ∩ convex is convex, so a left fold
-    of Sutherland-Hodgman clips computes the aggregate exactly (two-stage:
-    collect_list then fold — the intersection of a group is small by nature,
-    so the collect is bounded).  Raises for concave inputs.
+    Left fold of pairwise intersections (convex pairs take the
+    Sutherland-Hodgman fast path, anything else the general overlay kernel);
+    the running intersection only shrinks, so the fold is bounded by the
+    smallest input.
     """
     gb = group_by or []
     grouped = df.groupBy(*gb).agg(F.collect_list(geom_col).alias("__geoms"))

@@ -396,6 +396,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """EXACT cosine pair search via blocked GEMM against a broadcast matrix.
+
+    Hyperplane LSH is only selective when the threshold is high (p per plane
+    = 1 - angle/pi; at cosine 0.4 a plane agrees on ~63% of ALL pairs, so no
+    banding scheme prunes meaningfully — candidate generation itself goes
+    quadratic).  In that dense regime the honest plan is exact blocked
+    matrix multiplication: normalize once, broadcast the (n x d) float32
+    matrix, and stream row blocks through ONE mapInPandas that BLAS-multiplies
+    each Arrow batch against the broadcast side and emits qualifying pairs.
+
+    Scale path: broadcast works to ~10^7 x 128 float32 (~5 GB executor
+    memory); beyond that, shard the broadcast side into column blocks and
+    union the per-shard scans (same operator shape, B scans), or switch to
+    the LSH variant with a >=0.9 threshold where banding is selective.
+    """
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([list(map(float, r[1])) for r in rows], dtype=np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_M = spark.sparkContext.broadcast(M)
+
+    def _scan(batches):
+        ids_all = b_ids.value
+        Mt = b_M.value.T
+        for pdf in batches:
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ Mt  # BLAS
+            qi = pdf[id_col].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for r in range(len(q)):
+                hits = np.nonzero((sims[r] >= threshold) & (ids_all > qi[r]))[0]
+                out_a.extend([qi[r]] * len(hits))
+                out_b.extend(ids_all[hits])
+                out_c.extend(sims[r, hits].astype(np.float64))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _scan, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

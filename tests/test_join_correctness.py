@@ -136,13 +136,21 @@ def test_dedup_8_pairs(spark):
 
 # -- brute-force oracle equivalence --------------------------------------------
 
-def _random_geoms(rng, n, kinds=("point", "poly")):
+def _random_geoms(rng, n, kinds=("point", "poly", "holed")):
     rows = []
     for i in range(n):
         kind = kinds[i % len(kinds)]
         cx, cy = rng.uniform(-10, 10, 2)
         if kind == "point":
             g = W.point(cx, cy)
+        elif kind == "holed":
+            # polygon with an interior ring: exercises every predicate's
+            # hole handling through the full join plan (round-1 finding)
+            r = rng.uniform(0.8, 1.8)
+            shell = [(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r), (cx - r, cy + r)]
+            h = r * rng.uniform(0.25, 0.45)
+            hole = [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h), (cx - h, cy + h)]
+            g = W.polygon(shell, holes=[hole])
         else:
             r = rng.uniform(0.3, 1.5)
             angles = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(4, 7)))
