@@ -247,6 +247,53 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(F.round(st_area(F.col("union_wkb")), 6).alias("union_area"))
 
 
+def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True round ST_Buffer under the gate: buffered rectangle area has the
+    closed form s_x*s_y + 2*(s_x+s_y)*d + A_ngon (the four corner fans align
+    on the axes and sum to one inscribed 32-gon of radius d)."""
+    from incubator_sedona_spark.functions.buffer import st_buffer
+    from incubator_sedona_spark.functions.st import st_area
+
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    buffered = zones.select(
+        "n_nationkey", st_buffer(F.col("wkb"), 3.0).alias("bwkb")
+    )
+    return buffered.select(
+        "n_nationkey", F.round(st_area(F.col("bwkb")), 6).alias("buf_area")
+    )
+
+
+def q_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform under the gate: 4326 -> UTM 31N -> 4326 roundtrip must
+    reproduce the inputs (engine roundtrip error ~1e-11 deg << the 1e-6
+    rounding quantum)."""
+    from incubator_sedona_spark.functions.crs import st_transform
+    from incubator_sedona_spark.functions.st import st_point
+
+    cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
+    # map the synthetic [0,100) frame into UTM zone 31's validity window
+    pts = cust.select(
+        "c_custkey",
+        (F.col("x") * 0.06).alias("lon"),
+        (F.col("y") * 0.8 - 40.0).alias("lat"),
+    ).withColumn("wkb", st_point(F.col("lon"), F.col("lat")))
+    rt = pts.withColumn(
+        "back",
+        st_transform(
+            st_transform(F.col("wkb"), "epsg:4326", "epsg:32631"),
+            "epsg:32631",
+            "epsg:4326",
+        ),
+    )
+    from incubator_sedona_spark.functions.st import st_x, st_y
+
+    return rt.select(
+        "c_custkey",
+        F.round(st_x(F.col("back")), 6).alias("lon_r"),
+        F.round(st_y(F.col("back")), 6).alias("lat_r"),
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     out = assign_tiles(cust, "x", "y", (0.0, 0.0, 100.0, 100.0), 16, 16)
@@ -512,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "overlay_area": q_overlay_area,
         "union_area": q_union_area,
+        "buffer_area": q_buffer_area,
+        "transform_roundtrip": q_transform_roundtrip,
     }
 
 
@@ -759,6 +808,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _simhash_oracle_sql(),
         "overlay_area": _overlay_oracle_sql(),
+        # buffered 16x16 zone with d=3, 32-gon corners:
+        # 256 + 2*(16+16)*3 + 0.5*32*9*sin(2*pi/32)
+        "buffer_area": f"""
+            SELECT n_nationkey,
+                   round(256.0 + 192.0 + {0.5 * 32 * 9.0}*sin(2*pi()/32), 6) AS buf_area
+            FROM nation
+        """,
+        "transform_roundtrip": f"""
+            SELECT c_custkey,
+                   round(({_lon_sql('c_custkey')}) * 0.06, 6) AS lon_r,
+                   round(({_lat_sql('c_custkey')}) * 0.8 - 40.0, 6) AS lat_r
+            FROM customer
+        """,
         "union_area": """
             WITH z AS (
               SELECT (n_nationkey % 5) * 20 AS x0,
