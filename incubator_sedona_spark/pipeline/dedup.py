@@ -384,9 +384,16 @@ def ngram_jaccard_pairs(
         e = e.join(sizes, id_col)
     a = e.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
     b = e.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
+    # size-ratio prune: jaccard >= t implies min(na,nb)/max(na,nb) >= t, so
+    # the filter is implied by the final threshold and cannot change the
+    # result set — it only keeps size-incompatible pairs out of the count agg
     shared = (
         a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.col("na") * threshold)
+            & (F.col("nb") * threshold <= F.col("na"))
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("shared"))
     )
