@@ -131,3 +131,33 @@ def save_as_wkt(df: DataFrame, path: str, geom_col: str = "wkb") -> None:
     df.withColumn("wkt", st_as_text(F.col(geom_col))).drop(geom_col).write.mode(
         "overwrite"
     ).csv(path, sep="\t")
+
+
+def save_as_geojson(df: DataFrame, path: str, geom_col: str = "wkb") -> None:
+    """saveAsGeoJSON analog (SpatialRDD.java:437-560): newline-delimited
+    GeoJSON Features; non-geometry columns become the properties object."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    from incubator_sedona_spark.functions.formats import geometry_to_geojson
+    from incubator_sedona_spark.geom import wkb as W
+
+    other = [c for c in df.columns if c != geom_col]
+
+    @F.pandas_udf(StringType())
+    def _feature(wkbs: pd.Series, props_json: pd.Series) -> pd.Series:
+        out = []
+        for b, pj in zip(wkbs, props_json):
+            feat = {
+                "type": "Feature",
+                "geometry": geometry_to_geojson(W.loads(b)),
+                "properties": _json.loads(pj),
+            }
+            out.append(_json.dumps(feat, separators=(",", ":")))
+        return pd.Series(out)
+
+    props = F.to_json(F.struct(*[F.col(c) for c in other])) if other else F.lit("{}")
+    df.select(_feature(F.col(geom_col), props).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

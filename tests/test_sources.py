@@ -82,3 +82,26 @@ def test_image_features_df(spark):
         if r.fmt == "png":
             ml, gm, hist = extract_features(pix)
             assert abs(ml - r.mean_luma) < 1e-9 and abs(gm - r.grad_mag) < 1e-9
+
+
+def test_save_as_geojson_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from incubator_sedona_spark.geom import wkb as W
+    from incubator_sedona_spark.sources.readers import read_geojson, save_as_geojson
+
+    rows = [
+        (0, "alpha", bytearray(W.dumps(W.point(1.5, -2.0)))),
+        (1, "beta", bytearray(W.dumps(W.box(0.0, 0.0, 4.0, 4.0)))),
+    ]
+    df = spark.createDataFrame(rows, "gid int, name string, wkb binary")
+    path = str(tmp_path / "gj_out")
+    save_as_geojson(df, path)
+    back = read_geojson(spark, path)
+    assert back.count() == 2
+    import json as _json
+
+    got = {(_json.loads(r.properties)["gid"], _json.loads(r.properties)["name"]) for r in back.collect()}
+    assert got == {(0, "alpha"), (1, "beta")}
+    geoms = sorted((W.loads(bytes(r.wkb)).kind for r in back.collect()))
+    assert geoms == [W.POINT, W.POLYGON]
