@@ -50,6 +50,46 @@ def st_reverse(wkb_col: Column) -> Column:
     return _unary_udf(lambda g: _map_coords(g, lambda c: c[::-1].copy()))(wkb_col)
 
 
+def st_precision_reduce(wkb_col: Column, digits: int) -> Column:
+    """Round every coordinate to ``digits`` decimal places (ST_PrecisionReduce)."""
+    return _unary_udf(lambda g: _map_coords(g, lambda c: np.round(c, digits)))(wkb_col)
+
+
+def normalize_geometry(g: W.Geometry) -> W.Geometry:
+    """Canonical form so topologically-equal geometries compare byte-equal:
+    polygon shells CCW / holes CW, rings rotated to start at their
+    lexicographically smallest vertex, linestrings oriented toward the
+    smaller endpoint, multi-part children sorted by their WKB bytes.
+    (Documented normal form; JTS normalize() differs in winding convention.)"""
+
+    def ring_norm(r: np.ndarray, ccw: bool) -> np.ndarray:
+        r = r[:-1]
+        area2 = float(np.sum(r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1]))
+        if (area2 > 0) != ccw:
+            r = r[::-1]
+        i = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+        r = np.roll(r, -i, axis=0)
+        return np.vstack([r, r[:1]])
+
+    if g.kind == W.POINT:
+        return g
+    if g.kind == W.LINESTRING:
+        a, b = tuple(g.parts[0]), tuple(g.parts[-1])
+        return g if a <= b else W.Geometry(W.LINESTRING, g.parts[::-1].copy())
+    if g.kind == W.POLYGON:
+        return W.Geometry(
+            W.POLYGON,
+            [ring_norm(g.parts[0], True)] + [ring_norm(r, False) for r in g.parts[1:]],
+        )
+    kids = [normalize_geometry(c) for c in g.parts]
+    kids.sort(key=W.dumps)
+    return W.Geometry(g.kind, kids)
+
+
+def st_normalize(wkb_col: Column) -> Column:
+    return _unary_udf(normalize_geometry)(wkb_col)
+
+
 def st_force_2d(wkb_col: Column) -> Column:
     """Identity: the engine's geometry model is 2-D by construction."""
     return _unary_udf(lambda g: g)(wkb_col)

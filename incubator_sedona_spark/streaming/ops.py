@@ -35,6 +35,58 @@ def streaming_enrich(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup.
+
+    applyInPandasWithState keyed by md5(text): the state holds the first-seen
+    id per distinct text, so a document whose text already appeared in ANY
+    earlier micro-batch is dropped and each first occurrence is emitted
+    exactly once.  State size is one small row per distinct text per key
+    group; ``timeout_minutes`` bounds it with processing-time eviction
+    (late re-arrivals after eviction re-emit — the standard watermark-bounded
+    dedup contract).  The reference has no stateful operators at all; this is
+    the engine extension the training-data pipeline needs for streaming
+    ingest dedup.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.withColumn("__k", F.md5(F.col(text_col)))
+    out_schema = f"{id_col} long, {text_col} string"
+    state_schema = "seen boolean"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def _dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            return
+        first = rows.sort_values(id_col).iloc[0]
+        state.update((True,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({id_col: [first[id_col]], text_col: [first[text_col]]})
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def streaming_tile_counts(
     stream: DataFrame,
     grid: Grid,

@@ -100,3 +100,20 @@ def test_multi_and_collection_extract(spark):
     pm = spark.createDataFrame([(bytearray(W.dumps(W.point(3, 4))),)], "wkb binary")
     m2 = W.loads(bytes(pm.select(E.st_multi(F.col("wkb")).alias("g")).first().g))
     assert m2.kind == W.MULTIPOINT
+
+
+def test_precision_reduce_and_normalize(spark):
+    ring1 = np.array([(0.12345678, 0.0), (2.0, 0.0), (2.0, 2.0), (0.12345678, 0.0)])
+    g1 = W.Geometry(W.POLYGON, [ring1])
+    # same triangle, different start vertex and winding
+    ring2 = np.array([(2.0, 2.0), (2.0, 0.0), (0.12345678, 0.0), (2.0, 2.0)])
+    g2 = W.Geometry(W.POLYGON, [ring2])
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(g1)), bytearray(W.dumps(g2)))], "a binary, b binary"
+    )
+    row = df.select(
+        E.st_normalize(F.col("a")).alias("na"), E.st_normalize(F.col("b")).alias("nb")
+    ).first()
+    assert bytes(row.na) == bytes(row.nb)  # canonical form is byte-equal
+    red = df.select(E.st_precision_reduce(F.col("a"), 2).alias("r")).first()
+    assert W.loads(bytes(red.r)).parts[0][0].tolist() == [0.12, 0.0]

@@ -36,3 +36,44 @@ def test_streaming_enrich_and_counts(spark, tmp_path):
     stream_counts = {(r.tile_x, r.tile_y): r.cnt for r in spark.sql("SELECT * FROM tile_counts").collect()}
     for r in batch_counts.collect():
         assert stream_counts[(r.tile_x, r.tile_y)] == r["count"]
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """Cross-micro-batch dedup: duplicates arriving in LATER micro-batches are
+    dropped by the applyInPandasWithState operator (maxFilesPerTrigger=1
+    forces one micro-batch per file)."""
+    from incubator_sedona_spark.streaming.ops import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    b1 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text"), (2, "alpha text")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha text"), (4, "gamma text"), (5, "beta text")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dedup_out ORDER BY doc_id").collect()
+    texts = [r.text for r in rows]
+    assert sorted(texts) == ["alpha text", "beta text", "gamma text"]
+    # first-seen-id-wins within a batch; later-batch duplicates never emit
+    by_text = {r.text: r.doc_id for r in rows}
+    assert by_text["alpha text"] in (0, 2) and by_text["beta text"] == 1
+    assert by_text["gamma text"] == 4
