@@ -279,3 +279,87 @@ def line_merge(g: W.Geometry) -> W.Geometry:
 
 def st_line_merge(wkb_col: Column) -> Column:
     return _unary_udf(line_merge)(wkb_col)
+
+
+# -- indexed accessors / constructors (Catalog.scala:58-161 long tail) ---------
+
+def st_geometry_n(wkb_col: Column, n: int) -> Column:
+    """n-th (0-based, like the reference's ST_GeometryN) child of a Multi*."""
+
+    def _g(g: W.Geometry) -> W.Geometry:
+        if g.kind in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON, W.GEOMETRYCOLLECTION):
+            return g.parts[n]
+        if n == 0:
+            return g
+        raise IndexError(f"geometry has no child {n}")
+
+    return _unary_udf(_g)(wkb_col)
+
+
+def st_point_n(wkb_col: Column, n: int) -> Column:
+    """n-th point of a LineString (1-based like the reference; negative from end)."""
+
+    def _p(g: W.Geometry) -> W.Geometry:
+        c = _line_coords(g)
+        i = n - 1 if n > 0 else len(c) + n
+        return W.point(float(c[i, 0]), float(c[i, 1]))
+
+    return _unary_udf(_p)(wkb_col)
+
+
+def st_start_point(wkb_col: Column) -> Column:
+    return _unary_udf(lambda g: W.point(*map(float, _line_coords(g)[0])))(wkb_col)
+
+
+def st_end_point(wkb_col: Column) -> Column:
+    return _unary_udf(lambda g: W.point(*map(float, _line_coords(g)[-1])))(wkb_col)
+
+
+def st_interior_ring_n(wkb_col: Column, n: int) -> Column:
+    """n-th interior ring (0-based) of a polygon, as a LineString."""
+
+    def _r(g: W.Geometry) -> W.Geometry:
+        if g.kind != W.POLYGON:
+            raise ValueError("expected a Polygon")
+        return W.Geometry(W.LINESTRING, g.parts[n + 1].copy())
+
+    return _unary_udf(_r)(wkb_col)
+
+
+def st_make_polygon(shell_col: Column, holes_col: Column | None = None) -> Column:
+    """Closed LineString (+ optional array of closed LineStrings) -> Polygon."""
+    if holes_col is None:
+
+        @F.pandas_udf(BinaryType())
+        def _mk(shells: pd.Series) -> pd.Series:
+            out = []
+            for b in shells:
+                g = W.loads(b)
+                out.append(W.dumps(W.Geometry(W.POLYGON, [_line_coords(g)])))
+            return pd.Series(out)
+
+        return _mk(shell_col)
+
+    @F.pandas_udf(BinaryType())
+    def _mkh(shells: pd.Series, holes: pd.Series) -> pd.Series:
+        out = []
+        for b, hs in zip(shells, holes):
+            rings = [_line_coords(W.loads(b))]
+            for hb in hs or []:
+                rings.append(_line_coords(W.loads(hb)))
+            out.append(W.dumps(W.Geometry(W.POLYGON, rings)))
+        return pd.Series(out)
+
+    return _mkh(shell_col, holes_col)
+
+
+def st_line_from_multipoint(wkb_col: Column) -> Column:
+    """MultiPoint -> LineString through its points in order."""
+
+    def _l(g: W.Geometry) -> W.Geometry:
+        pts = [leaf.parts[0] for leaf in g.leaves() if leaf.kind == W.POINT]
+        if len(pts) < 2:
+            raise ValueError("need at least 2 points")
+        return W.Geometry(W.LINESTRING, np.asarray(pts, dtype=np.float64))
+
+    return _unary_udf(_l)(wkb_col)

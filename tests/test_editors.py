@@ -117,3 +117,41 @@ def test_precision_reduce_and_normalize(spark):
     assert bytes(row.na) == bytes(row.nb)  # canonical form is byte-equal
     red = df.select(E.st_precision_reduce(F.col("a"), 2).alias("r")).first()
     assert W.loads(bytes(red.r)).parts[0][0].tolist() == [0.12, 0.0]
+
+
+def test_indexed_accessors_and_constructors(spark):
+    line = _line((0, 0), (1, 1), (2, 0))
+    mp = W.multi(W.MULTIPOINT, [W.point(0, 0), W.point(1, 1), W.point(2, 0)])
+    donut = W.Geometry(
+        W.POLYGON,
+        [
+            np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]),
+            np.array([(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]),
+        ],
+    )
+    ring = W.Geometry(W.LINESTRING, np.array([(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 0.0)]))
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(line)), bytearray(W.dumps(mp)), bytearray(W.dumps(donut)), bytearray(W.dumps(ring)))],
+        "l binary, mp binary, d binary, ring binary",
+    )
+    row = df.select(
+        E.st_point_n(F.col("l"), 2).alias("p2"),
+        E.st_point_n(F.col("l"), -1).alias("plast"),
+        E.st_start_point(F.col("l")).alias("sp"),
+        E.st_end_point(F.col("l")).alias("ep"),
+        E.st_geometry_n(F.col("mp"), 1).alias("g1"),
+        E.st_interior_ring_n(F.col("d"), 0).alias("ir"),
+        E.st_make_polygon(F.col("ring")).alias("poly"),
+        E.st_line_from_multipoint(F.col("mp")).alias("lfm"),
+    ).first()
+    assert W.loads(bytes(row.p2)).parts[0].tolist() == [1.0, 1.0]
+    assert W.loads(bytes(row.plast)).parts[0].tolist() == [2.0, 0.0]
+    assert W.loads(bytes(row.sp)).parts[0].tolist() == [0.0, 0.0]
+    assert W.loads(bytes(row.ep)).parts[0].tolist() == [2.0, 0.0]
+    assert W.loads(bytes(row.g1)).parts[0].tolist() == [1.0, 1.0]
+    ir = W.loads(bytes(row.ir))
+    assert ir.kind == W.LINESTRING and len(ir.parts) == 5
+    poly = W.loads(bytes(row.poly))
+    assert poly.kind == W.POLYGON
+    lfm = W.loads(bytes(row.lfm))
+    assert lfm.kind == W.LINESTRING and len(lfm.parts) == 3
