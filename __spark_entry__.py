@@ -483,6 +483,47 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.8).select("id_a", "id_b")
 
 
+_NGRAM_MAX_DF = 20
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram dedup with the document-frequency cap ON (the 100-TB
+    configuration: hot stop-grams never reach the join).  The oracle applies
+    the identical df<=cap filter to the gram sets, so the result stays
+    exact — the cap changes the MEASURE (jaccard over surviving grams), not
+    the exactness."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        d, n=3, threshold=0.8, max_df=_NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+
+
+# Hot-bucket plant for the capped-minhash gate query: 150 byte-identical
+# gibberish docs share every LSH bucket (size 151 > cap), so the cap must
+# drop ALL their pairs while leaving the organic pair set untouched.
+_PLANT_N = 150
+_PLANT_BASE = 1_000_000
+_PLANT_TEXT = "xq zv qj vxk zzq jxw qqv zkx wjq xvz " * 6
+
+
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash LSH with max_bucket_size ON against a planted hot bucket.
+
+    Every bucket the planted docs occupy has size _PLANT_N+? > 100, so their
+    C(150,2)=11175 identical pairs are pruned at candidate generation (the
+    scale behavior: a boilerplate cluster never goes quadratic); organic
+    buckets at this SF stay far below the cap, so the emitted set equals the
+    organic exact-jaccard pair set — which is what the oracle states."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.range(_PLANT_N).select(
+        (F.col("id") + _PLANT_BASE).alias("doc_id"), F.lit(_PLANT_TEXT).alias("text")
+    )
+    u = d.unionAll(planted)
+    return DD.minhash_lsh_dup_pairs(
+        u, threshold=0.8, verify="exact", max_bucket_size=100
+    ).select("id_a", "id_b")
+
+
 def _simhash_oracle_sql() -> str:
     """All-pairs SimHash hamming filter, recomputing the md5-token signature
     bit-for-bit in SQL (same votes as pipeline.dedup.simhash64)."""
@@ -555,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "overlay_area": q_overlay_area,
@@ -838,6 +881,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # df-capped variant: the document-frequency filter is applied to the
+        # gram sets on BOTH sides (join keys and set sizes), mirroring
+        # pipeline.dedup.ngram_jaccard_pairs(max_df=...) exactly.
+        "ngram_jaccard_capped": rf"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(0, len(t) - 3)),
+                       i -> array_to_string(t[i+1:i+3], ' '))) AS grams
+              FROM toks
+            ),
+            e0 AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+            dfreq AS (SELECT gram, count(*) AS c FROM e0 GROUP BY gram),
+            e AS (
+              SELECT e0.doc_id, e0.gram FROM e0
+              JOIN dfreq ON e0.gram = dfreq.gram
+              WHERE dfreq.c <= {_NGRAM_MAX_DF}
+            ),
+            sz AS (SELECT doc_id, count(*) AS ng FROM e GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, sa.ng AS na, sb.ng AS nb,
+                     count(*) AS shared
+              FROM e a
+              JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              JOIN sz sa ON sa.doc_id = a.doc_id
+              JOIN sz sb ON sb.doc_id = b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b FROM p
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
+        # capped minhash: exact jaccard over the documents+plant union; the
+        # planted hot bucket (150 identical docs, bucket size > cap in every
+        # band) contributes no candidates, which the oracle states as the
+        # both-planted exclusion — planted-vs-organic pairs are killed by the
+        # jaccard filter itself (gibberish text), which the oracle also
+        # verifies rather than assumes.
+        "minhash_pairs_capped": rf"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT {_PLANT_BASE} + i AS doc_id, '{_PLANT_TEXT}' AS text
+              FROM generate_series(0, {_PLANT_N - 1}) t(i)
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM docs
+            ),
+            e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b FROM p
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+              AND NOT (id_a >= {_PLANT_BASE} AND id_b >= {_PLANT_BASE})
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

@@ -81,7 +81,10 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "minhash_pairs",
     "simhash_pairs",
-    "ngram_jaccard_pairs",
+    # the df-capped configuration is what a 100-TB deployment runs (hot
+    # stop-grams never reach the join); the uncapped exactness default stays
+    # in the correctness gate as ngram_jaccard_pairs
+    "ngram_jaccard_capped",
     "embed_dup_pairs",
     "union_area",
     "ann_topk",

@@ -6,8 +6,8 @@ ST_LineSubstring, ST_AddPoint / ST_RemovePoint / ST_SetPoint, ST_LineMerge,
 ST_Force_2D, ST_Multi, ST_CollectionExtract.  All Arrow-batched pandas UDFs
 over the WKB column model; per-geometry math is vectorized numpy.
 
-The engine is strictly 2-D (Z/M WKB is rejected at parse time), so
-ST_Force_2D is the identity by construction and 3-D variants are out of scope.
+Z/M coordinates are carried through coordinate editors unchanged (see
+geom.wkb); ST_Force_2D strips them, functions.zm adds the 3-D accessors.
 """
 
 from __future__ import annotations
@@ -21,11 +21,21 @@ from incubator_sedona_spark.geom import wkb as W
 
 
 def _map_coords(g: W.Geometry, fn) -> W.Geometry:
+    """Apply a planar coordinate transform; Z/M columns ride along unchanged
+    (coordinate editors are XY operations — JTS's AffineTransformation also
+    leaves Z untouched)."""
+
+    def _apply(arr: np.ndarray) -> np.ndarray:
+        xy = fn(arr[:, :2])
+        if arr.shape[1] > 2:
+            return np.column_stack([xy, arr[:, 2:]])
+        return xy
+
     if g.kind in (W.POINT, W.LINESTRING):
-        return W.Geometry(g.kind, fn(g.parts))
+        return W.Geometry(g.kind, _apply(g.parts), g.has_z, g.has_m)
     if g.kind == W.POLYGON:
-        return W.Geometry(W.POLYGON, [fn(r) for r in g.parts])
-    return W.Geometry(g.kind, [_map_coords(c, fn) for c in g.parts])
+        return W.Geometry(W.POLYGON, [_apply(r) for r in g.parts], g.has_z, g.has_m)
+    return W.Geometry(g.kind, [_map_coords(c, fn) for c in g.parts], g.has_z, g.has_m)
 
 
 def _unary_udf(fn):
@@ -90,9 +100,19 @@ def st_normalize(wkb_col: Column) -> Column:
     return _unary_udf(normalize_geometry)(wkb_col)
 
 
+def force_2d_geometry(g: W.Geometry) -> W.Geometry:
+    if not (g.has_z or g.has_m):
+        return g
+    if g.kind in (W.POINT, W.LINESTRING):
+        return W.Geometry(g.kind, np.ascontiguousarray(g.parts[:, :2]))
+    if g.kind == W.POLYGON:
+        return W.Geometry(W.POLYGON, [np.ascontiguousarray(r[:, :2]) for r in g.parts])
+    return W.Geometry(g.kind, [force_2d_geometry(c) for c in g.parts])
+
+
 def st_force_2d(wkb_col: Column) -> Column:
-    """Identity: the engine's geometry model is 2-D by construction."""
-    return _unary_udf(lambda g: g)(wkb_col)
+    """Strip Z/M columns (ST_Force_2D); identity on already-2D geometry."""
+    return _unary_udf(force_2d_geometry)(wkb_col)
 
 
 def st_multi(wkb_col: Column) -> Column:

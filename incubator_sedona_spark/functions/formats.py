@@ -78,7 +78,18 @@ def geojson_to_geometry(obj) -> W.Geometry:
 
 
 def _poslist(arr: np.ndarray) -> str:
-    return " ".join(f"{x:g},{y:g}" for x, y in arr)
+    # repr() = shortest string that round-trips the double exactly; '%g'
+    # (6 significant digits) would silently truncate real-world coordinates
+    # by ~50 m (JTS's writers emit full precision)
+    return " ".join(f"{float(x)!r},{float(y)!r}" for x, y in arr)
+
+
+_GML_MULTI = {
+    W.MULTIPOINT: ("MultiPoint", "pointMember"),
+    W.MULTILINESTRING: ("MultiLineString", "lineStringMember"),
+    W.MULTIPOLYGON: ("MultiPolygon", "polygonMember"),
+    W.GEOMETRYCOLLECTION: ("MultiGeometry", "geometryMember"),
+}
 
 
 def geometry_to_gml(g: W.Geometry) -> str:
@@ -99,11 +110,18 @@ def geometry_to_gml(g: W.Geometry) -> str:
             for r in g.parts[1:]
         )
         return f"<gml:Polygon>{shell}{holes}</gml:Polygon>"
-    return "".join(geometry_to_gml(c) for c in g.parts)
+    # multi/collection: wrapped in the GML2 container + member elements, the
+    # shapes JTS's GMLWriter emits (bare concatenated children are not valid
+    # GML fragments)
+    wrap, member = _GML_MULTI[g.kind]
+    inner = "".join(
+        f"<gml:{member}>{geometry_to_gml(c)}</gml:{member}>" for c in g.parts
+    )
+    return f"<gml:{wrap}>{inner}</gml:{wrap}>"
 
 
 def _kml_coords(arr: np.ndarray) -> str:
-    return " ".join(f"{x:g},{y:g}" for x, y in arr)
+    return " ".join(f"{float(x)!r},{float(y)!r}" for x, y in arr)
 
 
 def geometry_to_kml(g: W.Geometry) -> str:
@@ -158,3 +176,110 @@ def st_geom_from_geojson(json_col: Column) -> Column:
         return pd.Series([W.dumps(geojson_to_geometry(t)) for t in s])
 
     return _f(json_col)
+
+
+# -- GML / KML input (ST_GeomFromGML / ST_GeomFromKML) --------------------------
+# Reference: Catalog.scala:142-144 -> JTS GMLReader / KMLReader.  Parses the
+# GML2 shapes the writers above emit plus GML3 posList, namespace-agnostic.
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_coordinates(el) -> np.ndarray:
+    """<coordinates> x,y[,z] tuples separated by whitespace, or GML3
+    <posList>/<pos> plain number streams (x y pairs)."""
+    text = (el.text or "").strip()
+    name = _localname(el.tag)
+    if name in ("posList", "pos"):
+        nums = [float(v) for v in text.split()]
+        return np.asarray(nums, dtype=np.float64).reshape(-1, 2)
+    pts = []
+    for tok in text.split():
+        xy = tok.split(",")
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _find_coords(el) -> np.ndarray:
+    for child in el:
+        if _localname(child.tag) in ("coordinates", "posList", "pos"):
+            return _parse_coordinates(child)
+    raise ValueError(f"no coordinates in <{_localname(el.tag)}>")
+
+
+def _xml_to_geometry(el) -> W.Geometry:
+    name = _localname(el.tag)
+    if name == "Point":
+        arr = _find_coords(el)
+        return W.point(float(arr[0, 0]), float(arr[0, 1]))
+    if name == "LineString":
+        return W.Geometry(W.LINESTRING, _find_coords(el))
+    if name == "LinearRing":
+        return W.Geometry(W.LINESTRING, _find_coords(el))
+    if name == "Polygon":
+        rings: list[np.ndarray] = []
+        for child in el:
+            cname = _localname(child.tag)
+            if cname in ("outerBoundaryIs", "exterior", "innerBoundaryIs", "interior"):
+                for ring in child:
+                    if _localname(ring.tag) == "LinearRing":
+                        r = _find_coords(ring)
+                        if cname in ("outerBoundaryIs", "exterior"):
+                            rings.insert(0, r)
+                        else:
+                            rings.append(r)
+        if not rings:
+            raise ValueError("Polygon without boundary rings")
+        return W.Geometry(W.POLYGON, rings)
+    if name in ("MultiPoint", "MultiLineString", "MultiPolygon", "MultiGeometry"):
+        kind = {
+            "MultiPoint": W.MULTIPOINT,
+            "MultiLineString": W.MULTILINESTRING,
+            "MultiPolygon": W.MULTIPOLYGON,
+            "MultiGeometry": W.GEOMETRYCOLLECTION,
+        }[name]
+        children = []
+        for member in el:
+            mname = _localname(member.tag)
+            if mname.endswith("Member") or mname.endswith("member"):
+                children.extend(_xml_to_geometry(c) for c in member)
+            else:  # KML MultiGeometry nests children directly
+                children.append(_xml_to_geometry(member))
+        if name == "MultiGeometry" and children and all(
+            c.kind == children[0].kind for c in children
+        ):
+            # KML has no Multi* elements; a homogeneous MultiGeometry decodes
+            # to the corresponding Multi type (JTS KMLReader behavior)
+            homo = {W.POINT: W.MULTIPOINT, W.LINESTRING: W.MULTILINESTRING, W.POLYGON: W.MULTIPOLYGON}
+            kind = homo.get(children[0].kind, W.GEOMETRYCOLLECTION)
+        return W.multi(kind, children)
+    raise ValueError(f"unsupported XML geometry element <{name}>")
+
+
+def xml_text_to_geometry(text: str) -> W.Geometry:
+    import xml.etree.ElementTree as ET
+
+    # bind any gml: prefix so fragments parse without a namespace declaration
+    wrapped = f'<__root xmlns:gml="http://www.opengis.net/gml">{text}</__root>'
+    root = ET.fromstring(wrapped)
+    for child in root:
+        return _xml_to_geometry(child)
+    raise ValueError(f"no geometry element in {text[:80]!r}")
+
+
+def st_geom_from_gml(gml_col: Column) -> Column:
+    return _bin_udf(xml_text_to_geometry)(gml_col)
+
+
+def st_geom_from_kml(kml_col: Column) -> Column:
+    return _bin_udf(xml_text_to_geometry)(kml_col)
+
+
+def _bin_udf(fn):
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.dumps(fn(t)) for t in s])
+
+    return _f

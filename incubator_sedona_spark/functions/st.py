@@ -301,26 +301,26 @@ def st_centroid_xy(wkb_col: Column) -> Column:
             if polys:
                 A = Cx = Cy = 0.0
                 for p in polys:
-                    # every ring enters the shoelace sum: interior rings (holes)
-                    # wind opposite to the shell, so they contribute negative
-                    # signed area — matching JTS ST_Centroid on holed polygons
+                    # each polygon's contribution is normalized so its SHELL
+                    # counts positive regardless of stored winding (WKB allows
+                    # either; CW shells from shapefile-derived data must not
+                    # cancel CCW shells across a MultiPolygon), and holes are
+                    # forced to subtract even if stored with the shell's
+                    # winding — matching JTS ST_Centroid
+                    shell = p.parts[0]
+                    sa = (
+                        shell[:-1, 0] * shell[1:, 1] - shell[1:, 0] * shell[:-1, 1]
+                    ).sum() / 2.0
+                    flip = -1.0 if sa < 0 else 1.0
                     for ri, r in enumerate(p.parts):
                         x, y = r[:-1, 0], r[:-1, 1]
                         x1, y1 = r[1:, 0], r[1:, 1]
                         cross = x * y1 - x1 * y
                         a = cross.sum() / 2.0
                         if a != 0:
-                            sgn = 1.0
-                            if ri > 0:
-                                # force holes to subtract even if stored with
-                                # the same winding as the shell
-                                shell = p.parts[0]
-                                sa = (
-                                    shell[:-1, 0] * shell[1:, 1]
-                                    - shell[1:, 0] * shell[:-1, 1]
-                                ).sum() / 2.0
-                                if a * sa > 0:
-                                    sgn = -1.0
+                            sgn = flip
+                            if ri > 0 and a * sa > 0:
+                                sgn = -flip
                             Cx += sgn * float(((x + x1) * cross).sum() / 6.0)
                             Cy += sgn * float(((y + y1) * cross).sum() / 6.0)
                             A += sgn * a
@@ -383,12 +383,19 @@ def st_buffer_bbox(wkb_col: Column, dist: float) -> Column:
 
 
 def _map_coords(fn):
+    def _arr(arr: np.ndarray) -> np.ndarray:
+        # transform the XY columns; Z/M ride along unchanged
+        xy = fn(arr[:, :2])
+        if arr.shape[1] > 2:
+            return np.column_stack([xy, arr[:, 2:]])
+        return xy
+
     def apply(g: W.Geometry) -> W.Geometry:
         if g.kind in (W.POINT, W.LINESTRING):
-            return W.Geometry(g.kind, fn(g.parts))
+            return W.Geometry(g.kind, _arr(g.parts), g.has_z, g.has_m)
         if g.kind == W.POLYGON:
-            return W.Geometry(W.POLYGON, [fn(r) for r in g.parts])
-        return W.Geometry(g.kind, [apply(c) for c in g.parts])
+            return W.Geometry(W.POLYGON, [_arr(r) for r in g.parts], g.has_z, g.has_m)
+        return W.Geometry(g.kind, [apply(c) for c in g.parts], g.has_z, g.has_m)
 
     return apply
 

@@ -67,7 +67,9 @@ def point_in_polygon(poly: W.Geometry, pts: np.ndarray):
     Returns (strict_inside, on_boundary) boolean arrays.  Even-odd counting
     makes holes work with no special casing.
     """
-    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    pts = np.asarray(pts, dtype=np.float64)
+    # accept (m, 2+e) rows: the planar kernel reads XY and ignores Z/M columns
+    pts = pts.reshape(-1, pts.shape[-1] if pts.ndim > 1 else 2)[:, :2]
     m = len(pts)
     inside = np.zeros(m, dtype=bool)
     on_bnd = np.zeros(m, dtype=bool)
@@ -185,8 +187,10 @@ def _covers_points(g: W.Geometry, pts: np.ndarray) -> np.ndarray:
         return np.array(
             [np.any((np.abs(v[:, 0] - p[0]) <= _EPS) & (np.abs(v[:, 1] - p[1]) <= _EPS)) for p in pts]
         )
-    # linestring: on-segment test
-    return points_to_segments_dist(np.asarray(pts, dtype=np.float64).reshape(-1, 2), g.edges()) <= _EPS
+    # linestring: on-segment test (XY columns only)
+    p2 = np.asarray(pts, dtype=np.float64)
+    p2 = p2.reshape(-1, p2.shape[-1] if p2.ndim > 1 else 2)[:, :2]
+    return points_to_segments_dist(p2, g.edges()) <= _EPS
 
 
 def _strict_inside_points(g: W.Geometry, pts: np.ndarray) -> np.ndarray:

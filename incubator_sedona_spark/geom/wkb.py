@@ -8,7 +8,16 @@ use standard ISO WKB so any external tool (DuckDB, shapely, PostGIS) can read ou
 geometry columns, and the vectorized point path never leaves numpy.
 
 Supported types: Point, LineString, Polygon (with holes), MultiPoint,
-MultiLineString, MultiPolygon, GeometryCollection — 2-D, little-endian.
+MultiLineString, MultiPolygon, GeometryCollection — little-endian out,
+either endianness in.
+
+Z/M coordinates (reference: GeometrySerializer.java:87-101 handles XY/XYZ/XYM/
+XYZM) are parsed from both ISO (+1000/2000/3000 type offsets) and EWKB
+(0x80000000/0x40000000 flag) forms, carried through the Geometry model as
+extra coordinate columns, and re-emitted as ISO codes.  All planar kernels
+(predicates, overlay, distance) operate on the XY columns only — matching
+JTS, whose predicates are 2-D — and geometry CONSTRUCTED by overlay/clip is
+2-D (JTS likewise does not interpolate Z through overlays).
 """
 
 from __future__ import annotations
@@ -39,18 +48,35 @@ _TYPE_NAMES = {
 class Geometry:
     """Lightweight parsed geometry.
 
-    - Point / LineString: ``parts`` is an ``(k, 2)`` float64 ndarray.
+    - Point / LineString: ``parts`` is an ``(k, 2+e)`` float64 ndarray where
+      ``e`` extra columns hold Z and/or M values.
     - Polygon: ``parts`` is a list of ring ndarrays (first = exterior shell,
       rest = holes); rings are closed (first == last vertex).
     - Multi* / GeometryCollection: ``parts`` is a list of child Geometry.
     """
 
-    __slots__ = ("kind", "parts", "_bounds")
+    __slots__ = ("kind", "parts", "_bounds", "has_z", "has_m")
 
-    def __init__(self, kind: int, parts):
+    def __init__(self, kind: int, parts, has_z: bool = False, has_m: bool = False):
         self.kind = kind
         self.parts = parts
         self._bounds = None
+        self.has_z = has_z
+        self.has_m = has_m
+
+    @property
+    def ndims(self) -> int:
+        return 2 + int(self.has_z) + int(self.has_m)
+
+    def z_values(self) -> np.ndarray:
+        """All Z values (empty when the geometry has no Z)."""
+        if not self.has_z:
+            return np.empty(0)
+        arrs = []
+        for leaf in self.leaves():
+            rings = leaf.parts if leaf.kind == POLYGON else [leaf.parts]
+            arrs.extend(r[:, 2] for r in rings)
+        return np.concatenate(arrs) if arrs else np.empty(0)
 
     # -- structure helpers -------------------------------------------------
     def leaves(self):
@@ -62,13 +88,14 @@ class Geometry:
             yield self
 
     def vertices(self) -> np.ndarray:
-        """All coordinates as an (n, 2) array."""
+        """All XY coordinates as an (n, 2) array (Z/M columns excluded, so
+        every planar consumer is unaffected by higher-dim inputs)."""
         arrs = []
         for leaf in self.leaves():
             if leaf.kind == POLYGON:
-                arrs.extend(leaf.parts)
+                arrs.extend(r[:, :2] for r in leaf.parts)
             else:
-                arrs.append(leaf.parts)
+                arrs.append(leaf.parts[:, :2])
         if not arrs:
             return np.empty((0, 2))
         return np.concatenate(arrs, axis=0)
@@ -85,7 +112,7 @@ class Geometry:
             rings = leaf.parts if leaf.kind == POLYGON else [leaf.parts]
             for r in rings:
                 if len(r) >= 2:
-                    segs.append(np.concatenate([r[:-1], r[1:]], axis=1))
+                    segs.append(np.concatenate([r[:-1, :2], r[1:, :2]], axis=1))
         if not segs:
             return np.empty((0, 4))
         return np.concatenate(segs, axis=0)
@@ -141,7 +168,13 @@ def box(minx: float, miny: float, maxx: float, maxy: float) -> Geometry:
 
 
 def multi(kind: int, children) -> Geometry:
-    return Geometry(kind, list(children))
+    children = list(children)
+    return Geometry(
+        kind,
+        children,
+        any(c.has_z for c in children),
+        any(c.has_m for c in children),
+    )
 
 
 # -- WKB encode ------------------------------------------------------------
@@ -154,17 +187,20 @@ def dumps(g: Geometry) -> bytes:
 
 def _write(g: Geometry, out: bytearray) -> None:
     out += b"\x01"  # little-endian
-    out += struct.pack("<I", g.kind)
+    # ISO WKB dimensionality offsets: Z=+1000, M=+2000, ZM=+3000
+    code = g.kind + (1000 if g.has_z else 0) + (2000 if g.has_m else 0)
+    out += struct.pack("<I", code)
+    w = g.ndims
     if g.kind == POINT:
-        out += struct.pack("<dd", g.parts[0, 0], g.parts[0, 1])
+        out += np.ascontiguousarray(g.parts[0, :w], dtype="<f8").tobytes()
     elif g.kind == LINESTRING:
         out += struct.pack("<I", len(g.parts))
-        out += np.ascontiguousarray(g.parts, dtype="<f8").tobytes()
+        out += np.ascontiguousarray(g.parts[:, :w], dtype="<f8").tobytes()
     elif g.kind == POLYGON:
         out += struct.pack("<I", len(g.parts))
         for ring in g.parts:
             out += struct.pack("<I", len(ring))
-            out += np.ascontiguousarray(ring, dtype="<f8").tobytes()
+            out += np.ascontiguousarray(ring[:, :w], dtype="<f8").tobytes()
     else:
         out += struct.pack("<I", len(g.parts))
         for child in g.parts:
@@ -185,23 +221,34 @@ def _read(mv: memoryview, off: int):
     off += 5
     # EWKB (PostGIS) flag bits: 0x20000000 = embedded SRID (4-byte payload we
     # must skip), 0x80000000 = Z, 0x40000000 = M.  ISO WKB encodes Z/M/ZM as
-    # type + 1000/2000/3000.  This engine is strictly 2-D: skip SRID payloads,
-    # reject Z/M variants loudly rather than parsing coordinates as garbage.
+    # type + 1000/2000/3000.  Both forms decode; Z/M columns are carried
+    # through the model (GeometrySerializer.java:87-101 parity).
     if raw & 0x20000000:
         off += 4  # skip EWKB SRID
-    if raw & (0x80000000 | 0x40000000):
-        raise ValueError(f"Z/M WKB variants are not supported (type=0x{raw:08x})")
-    kind = raw & 0x1FFFFFFF
-    if kind >= 1000:
-        raise ValueError(f"Z/M WKB variants are not supported (ISO type={kind})")
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    t = raw & 0x1FFFFFFF
+    if t >= 1000:
+        dim_code, t = divmod(t, 1000)
+        has_z = has_z or dim_code in (1, 3)
+        has_m = has_m or dim_code in (2, 3)
+    kind = t
+    w = 2 + int(has_z) + int(has_m)
+    step = 8 * w
     if kind == POINT:
-        x, y = struct.unpack_from(fmt + "dd", mv, off)
-        return Geometry(POINT, np.array([[x, y]], dtype=np.float64)), off + 16
+        coords = np.frombuffer(mv, dtype=fmt + "f8", count=w, offset=off)
+        return (
+            Geometry(POINT, coords.reshape(1, w).astype(np.float64), has_z, has_m),
+            off + step,
+        )
     if kind == LINESTRING:
         (n,) = struct.unpack_from(fmt + "I", mv, off)
         off += 4
-        coords = np.frombuffer(mv, dtype=fmt + "f8", count=2 * n, offset=off)
-        return Geometry(LINESTRING, coords.reshape(n, 2).astype(np.float64)), off + 16 * n
+        coords = np.frombuffer(mv, dtype=fmt + "f8", count=w * n, offset=off)
+        return (
+            Geometry(LINESTRING, coords.reshape(n, w).astype(np.float64), has_z, has_m),
+            off + step * n,
+        )
     if kind == POLYGON:
         (nr,) = struct.unpack_from(fmt + "I", mv, off)
         off += 4
@@ -209,10 +256,10 @@ def _read(mv: memoryview, off: int):
         for _ in range(nr):
             (n,) = struct.unpack_from(fmt + "I", mv, off)
             off += 4
-            coords = np.frombuffer(mv, dtype=fmt + "f8", count=2 * n, offset=off)
-            rings.append(coords.reshape(n, 2).astype(np.float64))
-            off += 16 * n
-        return Geometry(POLYGON, rings), off
+            coords = np.frombuffer(mv, dtype=fmt + "f8", count=w * n, offset=off)
+            rings.append(coords.reshape(n, w).astype(np.float64))
+            off += step * n
+        return Geometry(POLYGON, rings, has_z, has_m), off
     if kind in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
         (n,) = struct.unpack_from(fmt + "I", mv, off)
         off += 4
@@ -220,7 +267,9 @@ def _read(mv: memoryview, off: int):
         for _ in range(n):
             child, off = _read(mv, off)
             children.append(child)
-        return Geometry(kind, children), off
+        cz = any(c.has_z for c in children)
+        cm = any(c.has_m for c in children)
+        return Geometry(kind, children, has_z or cz, has_m or cm), off
     raise ValueError(f"unsupported WKB type {kind}")
 
 

@@ -257,9 +257,17 @@ def _finish_right_outer(
         *[F.col(rp + c).alias(o) for c, o in zip(right_cols, out_right)],
         F.col(row_id),
     )
-    pairs_left = inner.select(row_id, *left_cols)
+    # extras = computed pair columns (e.g. distance_join's emit_distance):
+    # carried through like left columns (null on unmatched right rows), so
+    # right_outer's output contract matches left_outer's
+    extras = [
+        c
+        for c in inner.columns
+        if c != row_id and c not in lnames and c not in set(out_right)
+    ]
+    pairs_left = inner.select(row_id, *left_cols, *extras)
     res = right_plain.join(pairs_left, row_id, "left_outer")
-    return res.select(*left_cols, *out_right)
+    return res.select(*left_cols, *out_right, *extras)
 
 
 # -- public operators ---------------------------------------------------------

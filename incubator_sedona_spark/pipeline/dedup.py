@@ -27,7 +27,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, LongType
 
 _PRIME = (1 << 61) - 1
 
@@ -44,26 +44,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of character k-shingles (stable across runs: polynomial rolling hash).
-
-    Operates on CODEPOINTS (utf-32), not bytes, so shingle positions agree
-    with SQL substr() semantics for non-ASCII text; texts shorter than k are
-    space-padded to length k.  The per-doc loop lives in the caller; this
-    body is fully vectorized (a batch-concatenated variant measured slower
-    because of gather-indexing overheads).
-    """
-    t = text or ""
-    if len(t) < k:
-        t = t + " " * (k - len(t))
-    arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    n = len(arr)
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    for i in range(k):
-        h = h * np.uint64(1000003) + arr[i : n - k + 1 + i]
-    return np.unique(h)
-
-
 def _char_shingles(text: str, k: int) -> set:
     """Distinct character k-shingles, matching SQL:
     substr(text, i, k) for i in 1..greatest(1, length(text)-k+1)."""
@@ -78,27 +58,59 @@ def exact_shingle_jaccard(a: str, b: str, k: int) -> float:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Attach ``minhash`` array<long> of ``num_hashes`` min-hash values.
+    """(id, minhash array<long>): ``num_hashes`` min-hash values per document.
 
-    One Arrow-batched pandas UDF; the (a,b) hash family is seeded determinstically.
+    Fully native plan — no Python anywhere:
+
+        shingle hashes = xxhash64(substr(text, i, k)) for i in 1..len-k+1
+        minhash[j]     = min over shingles of xxhash64(j, shingle_hash)
+
+    expressed as transform+explode (one long per character position — the
+    text itself never rides the explode) followed by a 64-column min
+    aggregate on the id (one shuffle, map-side partial combine).  Duplicate
+    shingles need no dedup: min over a multiset equals min over its support.
+    xxhash64(seed_j, h) is an independent-per-seed 64-bit family, replacing
+    the (a*x+b) mod p family the round-2 pandas-UDF path used (which cannot
+    be written natively: the multiply overflows int64 under ANSI mode).
+    Texts shorter than k are space-padded to length k, matching the exact
+    verify's substr semantics.
     """
-    rng = np.random.default_rng(42)
-    A = rng.integers(1, _PRIME, num_hashes, dtype=np.int64).astype(np.uint64)
-    B = rng.integers(0, _PRIME, num_hashes, dtype=np.int64).astype(np.uint64)
+    rows = _shingle_hash_rows(df, text_col, shingle_k, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    sig = rows.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash"),
+    )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k)
-            # (a * x + b) mod p, columnwise min
-            vals = (sh[None, :] * A[:, None] + B[:, None]) % np.uint64(_PRIME)
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
 
-    return df.withColumn("minhash", _sig(F.col(text_col)))
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, shingle_k: int, id_col: str
+) -> DataFrame:
+    """(id, __sh): one row per character position, __sh = xxhash64 of the
+    k-char shingle at it.  Deliberately explode-then-substr (a plain
+    whole-stage-codegen projection) rather than a higher-order transform()
+    lambda: HOF lambdas are evaluated interpreted, measured 15x slower on
+    this exact expression."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.when(F.length(t) < shingle_k, F.rpad(t, shingle_k, " ")).otherwise(t)
+    return df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.explode(F.sequence(F.lit(1), F.length(t) - (shingle_k - 1))).alias("__i"),
+    ).select(
+        id_col,
+        F.xxhash64(F.substr(F.col("__t"), F.col("__i"), F.lit(shingle_k))).alias("__sh"),
+    )
 
 
 def _cap_buckets(
@@ -130,6 +142,7 @@ def minhash_lsh_dup_pairs(
     shingle_k: int = 5,
     verify: str = "exact",
     max_bucket_size: int | None = None,
+    min_band_matches: int | str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold) via LSH banding.
 
@@ -137,32 +150,65 @@ def minhash_lsh_dup_pairs(
     64-long signatures never ride the candidate shuffle) -> self equi-join on
     the band bucket -> distinct pair -> verify.
 
-    ``verify="exact"`` joins the texts back by id and computes the exact
-    character-``shingle_k``-shingle Jaccard per candidate pair, so the output
-    is a deterministic subset relation the SQL oracle can replicate; with the
-    default 32 bands x 2 rows, a pair at the 0.7 threshold is missed with
-    probability (1 - 0.7^2)^32 ~ 5e-10 — candidate recall is effectively
-    exhaustive at any realistic threshold.  ``verify="estimate"`` keeps the
-    signature-agreement estimate (cheaper: no text join).
+    ``verify="exact"`` computes the exact character-``shingle_k``-shingle
+    Jaccard per candidate pair (native array_intersect over per-doc shingle-
+    hash sets), so the output is a deterministic subset relation the SQL
+    oracle can replicate; with the default 32 bands x 2 rows, a pair at the
+    0.7 threshold escapes banding entirely with probability
+    (1 - 0.7^2)^32 ~ 5e-10.  ``verify="estimate"`` keeps the
+    signature-agreement estimate (cheaper: no shingle-set join).
+
+    ``min_band_matches`` prunes candidate pairs matching fewer than that many
+    of the ``bands`` band buckets before the per-pair verify.  Band matches
+    of a pair at jaccard j are Binomial(bands, j^r); on repetitive corpora
+    the j << threshold flood matches 1-5 bands while qualifying pairs
+    concentrate near bands*threshold^r, so a low cut removes the flood
+    (8.6M -> 43K candidate pairs on the sf0.1 gate corpus) at a quantified
+    recall cost.  The default "auto" picks the largest cut whose worst-case
+    miss probability for a pair AT the threshold is <= 1e-7 (cut 6 of 32 at
+    t=0.8: P[Binom(32, 0.64) < 6] = 2.5e-8); pass 1 to disable pruning
+    entirely when a zero-probabilistic-miss contract is required, at
+    quadratic-verify cost on corpora of mutually-similar documents.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col), F.col("minhash")
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
+    if min_band_matches == "auto":
+        from math import comb
+
+        p_at_t = threshold**rows_per_band
+        cut = 1
+        for c in range(bands, 0, -1):
+            miss = sum(
+                comb(bands, x) * p_at_t**x * (1 - p_at_t) ** (bands - x)
+                for x in range(c)
             )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            if miss <= 1e-7:
+                cut = c
+                break
+        min_band_matches = cut
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_k, id_col=id_col)
+    # static band-key expressions (getItem + xxhash64 of the band's r
+    # signature slots) — no HOF lambdas, stays inside whole-stage codegen
+    mh = F.col("minhash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[mh[b * rows_per_band + i] for i in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # The bucket self-join consumes banded twice and Catalyst does not CSE
+    # across join sides, so without this persist the whole signature pipeline
+    # (shingle explode + 64-way min agg) runs twice.  banded is (id, int,
+    # long) — n*bands rows of ~20 bytes, orders of magnitude smaller than the
+    # input corpus — so pinning it is the scale-correct call too.
+    banded = banded.persist()
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -171,41 +217,39 @@ def minhash_lsh_dup_pairs(
         "id_a", "id_b"
     )
 
-    # Band-match-count prefilter: the r=2 banding needed for exhaustive recall
-    # at the threshold also passes millions of moderately-similar pairs on
-    # repetitive corpora.  One all-native groupBy both DEDUPLICATES the pairs
-    # and counts how many of the 32 bands matched; a pair at jaccard j matches
-    # a band with p = j^r, so requiring >= floor(bands*(threshold-0.25)^r)
-    # matches drops the j << threshold flood while a true-qualifying pair
-    # fails the cut with probability ~ exp(-2*bands*(j^r-(threshold-.25)^r)^2)
-    # (~1e-5 at j = threshold = 0.8; the deterministic gate checks the
-    # realized corpus).  The expensive verify then runs on survivors only.
-    min_bands = max(1, int(np.floor(bands * max(threshold - 0.25, 0.0) ** rows_per_band)))
+    # One all-native groupBy deduplicates the candidate pairs and counts how
+    # many of the bands matched; the min_band_matches cut (see docstring)
+    # runs on that count, so the prune costs nothing extra.
     cand = (
         raw.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__nb"))
-        .where(F.col("__nb") >= min_bands)
+        .where(F.col("__nb") >= max(1, min_band_matches))
         .select("id_a", "id_b")
     )
 
     if verify == "exact":
-        texts = df.select(F.col(id_col), F.col(text_col))
-        withtext = cand.join(
-            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
-            "id_a",
-        ).join(
-            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
-            "id_b",
+        # Exact verify, fully native: per-doc DISTINCT shingle-hash arrays
+        # (xxhash64 of each substr — jaccard over hashes equals jaccard over
+        # shingles up to a ~n^2/2^64 collision probability, and the oracle's
+        # string-side computation would catch one), joined onto the candidate
+        # pairs and intersected JVM-side with array_intersect.  The shingle
+        # sets are ~len(text) longs per doc: small enough to broadcast at
+        # gate scale, an id-keyed shuffle join beyond.  This replaces the
+        # round-2 per-pair Python jaccard UDF.
+        sets = (
+            _shingle_hash_rows(df, text_col, shingle_k, id_col)
+            .groupBy(id_col)
+            .agg(F.collect_set("__sh").alias("__s"))
         )
-
-        @F.pandas_udf(DoubleType())
-        def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-            return pd.Series(
-                [exact_shingle_jaccard(x, y, shingle_k) for x, y in zip(ta, tb)]
-            )
-
+        withsets = cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")), "id_a"
+        ).join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb")), "id_b"
+        )
+        inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
         return (
-            withtext.withColumn("jaccard", _jac(F.col("__ta"), F.col("__tb")))
+            withsets.withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
@@ -325,6 +369,9 @@ def simhash_dup_pairs(
             )
         ).alias("ck"),
     ).select(id_col, F.col("ck.combo").alias("combo"), F.col("ck.key").alias("key"))
+    # persisted for the same reason as minhash's banded rel: the self-join
+    # consumes it twice and would recompute the signature aggregate both times
+    keyed = keyed.persist()
     keyed = _cap_buckets(keyed, ["combo", "key"], max_bucket_size)
 
     a = keyed.select(F.col(id_col).alias("id_a"), "combo", "key")
@@ -403,55 +450,121 @@ def ngram_jaccard_pairs(
     )
 
 
+# Per-python-worker cache of loaded GEMM blocks (workers are reused across
+# tasks, so within one scan every task of block b shares one load).  Capped
+# at 2 entries so concurrent block scans on one executor stay bounded by
+# ~2 * max_broadcast_rows * d * 4 bytes.
+_GEMM_BLOCK_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_gemm_block(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, normalized float32 matrix^T) for one parquet block directory.
+
+    Runs on the EXECUTOR: each task reads its block straight from the
+    (distributed) filesystem — the driver never materializes row data.
+    """
+    if path not in _GEMM_BLOCK_CACHE:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(f"{path}/*.parquet"))
+        if not files:
+            _GEMM_BLOCK_CACHE[path] = (np.empty(0, dtype=np.int64), np.empty((0, 0), np.float32))
+        else:
+            tbl = pq.ParquetDataset(files).read()
+            pdf = tbl.to_pandas()
+            ids = pdf["__id"].to_numpy()
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            while len(_GEMM_BLOCK_CACHE) >= 2:
+                _GEMM_BLOCK_CACHE.pop(next(iter(_GEMM_BLOCK_CACHE)))
+            _GEMM_BLOCK_CACHE[path] = (ids, M.T.copy())
+    return _GEMM_BLOCK_CACHE[path]
+
+
 def embedding_cosine_pairs_exact(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
-    """EXACT cosine pair search via blocked GEMM against a broadcast matrix.
+    """EXACT cosine pair search via sharded blocked GEMM — no driver collect.
 
     Hyperplane LSH is only selective when the threshold is high (p per plane
     = 1 - angle/pi; at cosine 0.4 a plane agrees on ~63% of ALL pairs, so no
     banding scheme prunes meaningfully — candidate generation itself goes
     quadratic).  In that dense regime the honest plan is exact blocked
-    matrix multiplication: normalize once, broadcast the (n x d) float32
-    matrix, and stream row blocks through ONE mapInPandas that BLAS-multiplies
-    each Arrow batch against the broadcast side and emits qualifying pairs.
+    matrix multiplication, sharded so nothing ever funnels through the driver:
 
-    Scale path: broadcast works to ~10^7 x 128 float32 (~5 GB executor
-    memory); beyond that, shard the broadcast side into column blocks and
-    union the per-shard scans (same operator shape, B scans), or switch to
-    the LSH variant with a >=0.9 threshold where banding is selective.
+      1. write (id, vec) hashed into B = ceil(n / max_broadcast_rows) row
+         blocks as parquet under ``scratch_dir`` (one distributed write;
+         on a cluster pass a DFS path — the default tempdir only works on
+         shared-filesystem/local deployments),
+      2. for each block, ONE mapInPandas over the full input loads that
+         block executor-side (per-worker cached, see _load_gemm_block) and
+         BLAS-multiplies each Arrow batch against it,
+      3. union the B per-block scans.
+
+    Each qualifying pair (a < b) is emitted exactly once: by the scan of the
+    block containing b, from query row a (the ``ids_blk > qi`` guard).
+    Executor memory is bounded by one block (max_broadcast_rows x d float32)
+    regardless of n; the driver only ever runs count().  For n where even
+    B scans of the full input are too slow, the banded LSH variant above is
+    the sparse-regime path (thresholds >= ~0.9).
     """
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows])
-    M = np.array([list(map(float, r[1])) for r in rows], dtype=np.float32)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
     spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_M = spark.sparkContext.broadcast(M)
+    n = df.count()
+    blocks = max(1, -(-n // max_broadcast_rows))
 
-    def _scan(batches):
-        ids_all = b_ids.value
-        Mt = b_M.value.T
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ Mt  # BLAS
-            qi = pdf[id_col].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            for r in range(len(q)):
-                hits = np.nonzero((sims[r] >= threshold) & (ids_all > qi[r]))[0]
-                out_a.extend([qi[r]] * len(hits))
-                out_b.extend(ids_all[hits])
-                out_c.extend(sims[r, hits].astype(np.float64))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+    if scratch_dir is None:
+        import tempfile
+
+        scratch_dir = tempfile.mkdtemp(prefix="iss_gemm_blocks_")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    (
+        base.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(blocks)))
+        .write.mode("overwrite")
+        .partitionBy("__blk")
+        .parquet(scratch_dir)
+    )
+
+    def _scan_against(block_path):
+        def _scan(batches):
+            ids_blk, Mt = _load_gemm_block(block_path)
+            for pdf in batches:
+                if not len(pdf) or not len(ids_blk):
+                    continue
+                q = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                sims = q @ Mt  # BLAS
+                qi = pdf[id_col].to_numpy()
+                out_a, out_b, out_c = [], [], []
+                for r in range(len(q)):
+                    hits = np.nonzero((sims[r] >= threshold) & (ids_blk > qi[r]))[0]
+                    out_a.extend([qi[r]] * len(hits))
+                    out_b.extend(ids_blk[hits])
+                    out_c.extend(sims[r, hits].astype(np.float64))
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+        return _scan
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _scan, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
-    )
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    inp = df.select(F.col(id_col), F.col(vec_col))
+    scans = [
+        inp.mapInPandas(_scan_against(f"{scratch_dir}/__blk={b}"), schema=schema)
+        for b in range(blocks)
+    ]
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionAll(s)
+    return out
 
 
 def embedding_cosine_dup_pairs(
@@ -495,6 +608,9 @@ def embedding_cosine_dup_pairs(
     keyed = ids.select(
         id_col, F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket")
     )
+    # persisted: consumed twice by the self-join (avoids rerunning the
+    # pandas-UDF bucketing pass on both sides)
+    keyed = keyed.persist()
     keyed = _cap_buckets(keyed, ["table", "bucket"], max_bucket_size)
 
     a = keyed.select(F.col(id_col).alias("id_a"), "table", "bucket")

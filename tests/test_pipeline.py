@@ -218,3 +218,58 @@ def test_ngram_max_df_drops_stop_grams(spark):
     # the gram sets, so doc 2 shares nothing with 0/1; 0-1 still match
     got = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=2).collect()}
     assert got == {(0, 1)}
+
+
+def test_embedding_exact_sharded_matches_single_block(spark, embs, tmp_path):
+    """The sharded GEMM path (B>=2 blocks, no driver collect) emits the
+    identical pair set as the single-block path — the round-3 gate for
+    removing the driver-side materialization."""
+    single = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_pairs_exact(
+            embs, threshold=0.4, scratch_dir=str(tmp_path / "b1")
+        ).collect()
+    }
+    n = embs.count()
+    sharded = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_pairs_exact(
+            embs,
+            threshold=0.4,
+            max_broadcast_rows=max(1, n // 3),  # forces B >= 3
+            scratch_dir=str(tmp_path / "b3"),
+        ).collect()
+    }
+    assert single == sharded and len(single) > 0
+
+
+def test_no_row_data_collect_in_package():
+    """Guard: the only .collect()/.toPandas() calls in the engine package are
+    aggregated-stats or bounded top-k paths — never full row-data
+    materialization (the round-2 exact-GEMM collect is gone)."""
+    import pathlib
+
+    root = pathlib.Path(D.__file__).resolve().parents[1]
+    allowed = {
+        # driver-bounded aggregate/stats collects audited in VERDICT r2 §wrong.7
+        "operators/joins.py",
+        "partitioning.py",
+        "sources/geoparquet.py",
+        "operators/knn.py",
+        "cells.py",
+    }
+    offenders = []
+    for p in root.rglob("*.py"):
+        rel = str(p.relative_to(root))
+        if ".collect()" in p.read_text() and rel not in allowed:
+            offenders.append(rel)
+    assert offenders == [], offenders
+
+
+def test_minhash_signature_is_native_plan(spark):
+    """The minhash signature plan contains no Python evaluation node
+    (round-3: shingling moved from a pandas UDF to explode+xxhash64+min)."""
+    df = spark.createDataFrame([(0, "hello world text")], "doc_id long, text string")
+    plan = D.minhash_signatures(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan

@@ -103,17 +103,20 @@ def test_ewkb_srid_flag_parses():
     assert g.parts[0][0] == 3.5 and g.parts[0][1] == -2.25
 
 
-def test_ewkb_zm_flags_rejected():
+def test_ewkb_zm_flags_parsed():
+    """Round 2 rejected Z/M WKB loudly; round 3 parses and carries it (see
+    tests/test_zm.py for the full surface).  The round-2 invariant that
+    coordinates are never silently corrupted still holds — the third double
+    must land in the Z/M column, not shift X/Y."""
     import struct
 
-    for flag in (0x80000000, 0x40000000):
+    for flag, attr in ((0x80000000, "has_z"), (0x40000000, "has_m")):
         buf = struct.pack("<BIddd", 1, 1 | flag, 1.0, 2.0, 3.0)
-        with pytest.raises(ValueError):
-            W.loads(buf)
-    # ISO Z point (type 1001) also rejected, not silently corrupted
-    buf = struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0)
-    with pytest.raises(ValueError):
-        W.loads(buf)
+        g = W.loads(buf)
+        assert getattr(g, attr) and tuple(g.parts[0, :2]) == (1.0, 2.0)
+        assert g.parts[0, 2] == 3.0
+    g = W.loads(struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0))
+    assert g.has_z and tuple(g.parts[0]) == (1.0, 2.0, 3.0)
 
 
 def _donut():
