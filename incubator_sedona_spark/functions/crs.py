@@ -11,10 +11,17 @@ Krueger-series Transverse Mercator, accurate to sub-millimeter within a zone):
 - ``epsg:3857``      — Web/Spherical Mercator
 - ``epsg:326NN``     — WGS84 / UTM zone NN north
 - ``epsg:327NN``     — WGS84 / UTM zone NN south
+- ``epsg:2154``      — RGF93 / Lambert-93 (Lambert conformal conic 2SP)
+- ``epsg:3347``      — NAD83 / Statistics Canada Lambert
+- ``epsg:5070``      — NAD83 / CONUS Albers equal-area
+- ``epsg:3310``      — NAD83 / California Albers
 
-Every transform routes through 4326 (src -> 4326 -> dst), all vectorized
-numpy over coordinate arrays.  Unknown EPSG codes raise ValueError — loud, not
-silently wrong.
+LCC 2SP and Albers follow Snyder (1987) eqs 15-1..15-11 / 14-1..14-21 on the
+per-CRS ellipsoid (GRS80 for the NAD83/RGF93 codes).  NAD83/RGF93 lon/lat is
+treated as WGS84 at the hub (datum offset < 2 m, the standard null-transform
+assumption).  Every transform routes through 4326 (src -> 4326 -> dst), all
+vectorized numpy over coordinate arrays.  Unknown EPSG codes raise
+ValueError — loud, not silently wrong.
 """
 
 from __future__ import annotations
@@ -109,6 +116,99 @@ def utm_zone_lon0(zone: int) -> float:
     return (zone - 1) * 6.0 - 180.0 + 3.0
 
 
+# -- Lambert conformal conic (2SP) and Albers equal-area (Snyder 1987) ----------
+
+_GRS80_A = 6378137.0
+_GRS80_E = np.sqrt(1.0 - (6356752.314140356 / 6378137.0) ** 2)
+
+
+class ConicCRS:
+    """Parameters of a 2-standard-parallel conic projection (LCC or Albers)."""
+
+    __slots__ = ("kind", "a", "e", "lat1", "lat2", "lat0", "lon0", "fe", "fn",
+                 "n", "big_f", "rho0", "big_c")
+
+    def __init__(self, kind, lat1, lat2, lat0, lon0, fe, fn, a=_GRS80_A, e=_GRS80_E):
+        self.kind, self.a, self.e = kind, a, e
+        self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
+        self.fe, self.fn = fe, fn
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        if kind == "lcc":
+            m1, m2 = self._m(p1), self._m(p2)
+            t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+            self.big_f = m1 / (self.n * t1**self.n)
+            self.rho0 = self.a * self.big_f * t0**self.n
+            self.big_c = None
+        else:  # albers
+            m1, m2 = self._m(p1), self._m(p2)
+            q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+            self.n = (m1**2 - m2**2) / (q2 - q1)
+            self.big_c = m1**2 + self.n * q1
+            self.rho0 = self.a * np.sqrt(self.big_c - self.n * q0) / self.n
+            self.big_f = None
+
+    def _m(self, phi):
+        return np.cos(phi) / np.sqrt(1 - (self.e * np.sin(phi)) ** 2)
+
+    def _t(self, phi):
+        es = self.e * np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        es = self.e * s
+        return (1 - self.e**2) * (
+            s / (1 - es**2) - np.log((1 - es) / (1 + es)) / (2 * self.e)
+        )
+
+    # forward/inverse take degree arrays, return meters (and vice versa)
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat_deg, np.float64))
+        theta = self.n * lam
+        if self.kind == "lcc":
+            rho = self.a * self.big_f * self._t(phi) ** self.n
+        else:
+            rho = self.a * np.sqrt(self.big_c - self.n * self._q(phi)) / self.n
+        return self.fe + rho * np.sin(theta), self.fn + self.rho0 - rho * np.cos(theta)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        sgn = np.sign(self.n) or 1.0
+        rho = sgn * np.sqrt(dx * dx + dy * dy)
+        theta = np.arctan2(sgn * dx, sgn * dy)
+        lon = self.lon0 + np.degrees(theta / self.n)
+        if self.kind == "lcc":
+            tp = (rho / (self.a * self.big_f)) ** (1.0 / self.n)
+            phi = np.pi / 2 - 2 * np.arctan(tp)
+            for _ in range(8):
+                es = self.e * np.sin(phi)
+                phi = np.pi / 2 - 2 * np.arctan(tp * ((1 - es) / (1 + es)) ** (self.e / 2))
+            return lon, np.degrees(phi)
+        q = (self.big_c - (rho * self.n / self.a) ** 2) / self.n
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e2 = self.e**2
+        for _ in range(10):  # Snyder eq 3-16
+            s = np.sin(phi)
+            es = self.e * s
+            phi = phi + (1 - es**2) ** 2 / (2 * np.cos(phi) * (1 - e2)) * (
+                q / (1 - e2) - s / (1 - es**2) + np.log((1 - es) / (1 + es)) / (2 * self.e)
+            )
+        return lon, np.degrees(phi)
+
+
+# Registry of conic CRSs: (kind, lat1, lat2, lat0, lon0, FE, FN) — EPSG
+# parameter sets; all on GRS80.
+_CONIC = {
+    2154: ConicCRS("lcc", 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+    3347: ConicCRS("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0),
+    5070: ConicCRS("albers", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3310: ConicCRS("albers", 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0),
+}
+
+
 def _parse(crs: str):
     c = crs.lower().replace(" ", "")
     if not c.startswith("epsg:"):
@@ -122,7 +222,12 @@ def _parse(crs: str):
         return ("utm", code - 32600, 0.0)
     if 32701 <= code <= 32760:
         return ("utm", code - 32700, _FN_SOUTH)
-    raise ValueError(f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN)")
+    if code in _CONIC:
+        return ("conic", code)
+    raise ValueError(
+        f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN, "
+        f"conic {sorted(_CONIC)})"
+    )
 
 
 def transform_xy(x, y, src: str, dst: str):
@@ -132,12 +237,16 @@ def transform_xy(x, y, src: str, dst: str):
         lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     elif s[0] == "merc":
         lon, lat = merc_inverse(x, y)
+    elif s[0] == "conic":
+        lon, lat = _CONIC[s[1]].inverse(x, y)
     else:
         lon, lat = tm_inverse(x, y, utm_zone_lon0(s[1]), _K0_UTM, _FE_UTM, s[2])
     if d[0] == "geo":
         return lon, lat
     if d[0] == "merc":
         return merc_forward(lon, lat)
+    if d[0] == "conic":
+        return _CONIC[d[1]].forward(lon, lat)
     return tm_forward(lon, lat, utm_zone_lon0(d[1]), _K0_UTM, _FE_UTM, d[2])
 
 

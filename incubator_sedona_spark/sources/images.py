@@ -6,15 +6,19 @@ phash int64)`` — the Spark-side analog of the reference's GeoTiff image struct
 (/root/reference/sql/common/.../io/raster/GeotiffSchema.scala:43-56), with the
 pixel payload as an opaque binary column instead of array<double>.
 
-Codecs: this container has no PIL/libjpeg, so real PNG/JPEG decode is gated
-behind an import-try (raises NotImplementedError with instructions).  The
-engine ships two deterministic stand-in codecs with the same *shape* as real
-ones so all Spark plumbing (schema, Arrow batch layout, partitioning,
-invariants) is exercised for real:
+Codecs, in order of preference per format:
 
-- ``png``  : zlib-compressed raw RGB — lossless round trip (exact equality).
-- ``jpeg`` : 4-level uniform quantization then zlib — lossy; reconstruction
-  error <= 2/channel, i.e. PSNR >= 42 dB > the 40 dB bar from BASELINE.json.
+- ``PNG``  : REAL decoder/encoder implemented here from the PNG spec (zlib
+  inflate + scanline filters 0-4, bit depth 8, gray/RGB/RGBA) — no external
+  dependency; cross-checked in tests against the JVM's javax.imageio.
+  PIL is used instead when installed (faster C path).
+- ``JPEG`` : PIL when installed; this container has no libjpeg, so without
+  PIL a real JPEG raises NotImplementedError (loud gate, not a fake).
+- ``TIFF`` : tifffile or PIL when installed; NotImplementedError otherwise.
+- ``ISSI`` : the deterministic stand-in codec used by the synthetic corpus:
+  ``png`` tag = zlib raw RGB (lossless), ``jpeg`` tag = 4-level uniform
+  quantization then zlib (error <= 2/channel, PSNR >= 42 dB > the 40 dB bar
+  from BASELINE.json).
 
 Derived spatial position (documented bijection from FIXTURES.md F1):
 ``lon = (phash & 0xFFFFFFFF) / 2^32 * 100``, ``lat = ((phash >> 32) &
@@ -63,22 +67,152 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Decode to (h, w, 3) uint8.  Real PNG/JPEG requires PIL (absent here)."""
-    if buf[:4] != _MAGIC:
+    """Decode to (h, w, 3) uint8 — dispatches on the file signature."""
+    head = bytes(buf[:8])
+    if head[:4] == _MAGIC:
+        tag, w, h, c = struct.unpack_from("<BHHB", buf, 4)
+        raw = np.frombuffer(zlib.decompress(buf[10:]), dtype=np.uint8).reshape(h, w, c)
+        if tag == 1:
+            # dequantize to bin centers: error in [-2, +1] per channel
+            return (raw.astype(np.int32) * _JPEG_Q + _JPEG_Q // 2).clip(0, 255).astype(np.uint8)
+        return raw.copy()
+    if head == _PNG_SIG:
+        if _HAS_PIL:
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+        return decode_png(buf)
+    if head[:2] == b"\xff\xd8":  # JPEG SOI
         if _HAS_PIL:
             import io
 
             return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
         raise NotImplementedError(
-            "real PNG/JPEG decode requires PIL, which is not installed in this "
-            "environment; engine codecs use the ISSI deterministic format"
+            "real JPEG decode requires PIL/libjpeg, not installed in this environment"
         )
-    tag, w, h, c = struct.unpack_from("<BHHB", buf, 4)
-    raw = np.frombuffer(zlib.decompress(buf[10:]), dtype=np.uint8).reshape(h, w, c)
-    if tag == 1:
-        # dequantize to bin centers: error in [-2, +1] per channel
-        return (raw.astype(np.int32) * _JPEG_Q + _JPEG_Q // 2).clip(0, 255).astype(np.uint8)
-    return raw.copy()
+    if head[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF (incl. GeoTiff payloads)
+        try:
+            import io
+
+            import tifffile
+
+            arr = tifffile.imread(io.BytesIO(bytes(buf)))
+            arr = np.atleast_3d(np.asarray(arr))
+            if arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            return np.ascontiguousarray(arr[:, :, :3]).astype(np.uint8)
+        except ImportError:
+            if _HAS_PIL:
+                import io
+
+                return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+            raise NotImplementedError(
+                "TIFF decode requires tifffile or PIL, neither installed here"
+            ) from None
+    if _HAS_PIL:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+    raise NotImplementedError(
+        f"unrecognized image signature {head[:4]!r} and PIL is not installed"
+    )
+
+
+# -- real PNG codec (spec-complete for 8-bit gray/RGB/RGBA, no interlace) -------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode (RFC 2083): zlib inflate + per-scanline unfilter.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), no
+    interlace; returns (h, w, 3) uint8 (alpha dropped, gray replicated)."""
+    if bytes(buf[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off, w = 8, None
+    idat = bytearray()
+    while off + 8 <= len(buf):
+        ln = int.from_bytes(buf[off : off + 4], "big")
+        typ = bytes(buf[off + 4 : off + 8])
+        data = bytes(buf[off + 8 : off + 8 + ln])
+        off += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG variant not supported (depth={depth}, color={ctype}, "
+                    f"interlace={interlace}); install PIL for full coverage"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: cumulative sum per channel along x
+            rec = (
+                np.cumsum(line.reshape(w, ch).astype(np.uint64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 3:  # Average (sequential in x)
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth (sequential in x)
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[r] = rec
+        prev = out[r]
+    pix = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(pix, 3, axis=2)
+    return np.ascontiguousarray(pix[:, :, :3])
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Real PNG encode: 8-bit RGB, filter 0 scanlines (spec-valid, readable
+    by any PNG decoder; tests verify against the JVM's javax.imageio)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

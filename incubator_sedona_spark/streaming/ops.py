@@ -39,19 +39,27 @@ def streaming_exact_dedup(
     stream: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = 24 * 60,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator: cross-micro-batch exact dedup.
 
     applyInPandasWithState keyed by md5(text): the state holds the first-seen
     id per distinct text, so a document whose text already appeared in ANY
     earlier micro-batch is dropped and each first occurrence is emitted
-    exactly once.  State size is one small row per distinct text per key
-    group; ``timeout_minutes`` bounds it with processing-time eviction
-    (late re-arrivals after eviction re-emit — the standard watermark-bounded
-    dedup contract).  The reference has no stateful operators at all; this is
-    the engine extension the training-data pipeline needs for streaming
-    ingest dedup.
+    exactly once.
+
+    State eviction is ON BY DEFAULT with a 24-hour processing-time TTL:
+    unbounded state (one row per distinct text forever) is an ever-growing
+    state store at 10^12-row pipeline scale.  The dedup-window contract:
+    a text is deduplicated against occurrences seen within the last
+    ``timeout_minutes`` of processing time SINCE ITS LAST ARRIVAL (the TTL
+    re-arms on every occurrence, including dropped duplicates — Spark clears
+    a key's timeout on each invocation, so re-arming is also required for
+    correctness); a re-arrival after eviction re-emits as a fresh first
+    occurrence.  Pass ``timeout_minutes=None`` explicitly for exact
+    unbounded dedup when the key space is known to be small.  The reference
+    has no stateful operators at all; this is the engine extension the
+    training-data pipeline needs for streaming ingest dedup.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -65,17 +73,21 @@ def streaming_exact_dedup(
         else GroupStateTimeout.NoTimeout
     )
 
+    ttl_ms = int(timeout_minutes * 60 * 1000) if timeout_minutes else None
+
     def _dedup(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
             return
         first = rows.sort_values(id_col).iloc[0]
         state.update((True,))
-        if timeout_minutes:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({id_col: [first[id_col]], text_col: [first[text_col]]})
 
     return keyed.groupBy("__k").applyInPandasWithState(

@@ -1,0 +1,290 @@
+"""Long-tail scalars (ST_IsSimple/IsClosed/IsRing, ST_Angle,
+ST_BoundingDiagonal, ST_NRings, spheroid family, geohash decode) and the
+conic CRS additions (Lambert conformal conic 2SP, Albers equal-area)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_sedona_spark.functions import scalars as S
+from incubator_sedona_spark.functions.crs import _CONIC, transform_xy
+from incubator_sedona_spark.geom import wkb as W
+
+
+def _ls(*pts):
+    return W.Geometry(W.LINESTRING, np.array(pts, dtype=np.float64))
+
+
+# -- is_simple / is_closed / is_ring ---------------------------------------------
+
+def test_is_simple_linestring():
+    assert S.geometry_is_simple(_ls((0, 0), (1, 1), (2, 0)))
+    # figure-X self-crossing
+    assert not S.geometry_is_simple(_ls((0, 0), (2, 2), (2, 0), (0, 2)))
+    # closed ring: closure point shared is fine
+    assert S.geometry_is_simple(_ls((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)))
+    # bowtie ring: crossing
+    assert not S.geometry_is_simple(_ls((0, 0), (1, 1), (1, 0), (0, 1), (0, 0)))
+    # doubling back over itself
+    assert not S.geometry_is_simple(_ls((0, 0), (2, 0), (1, 0)))
+
+
+def test_is_simple_multipoint_and_polygon():
+    dup = W.multi(W.MULTIPOINT, [W.point(1, 1), W.point(1, 1)])
+    ok = W.multi(W.MULTIPOINT, [W.point(1, 1), W.point(2, 2)])
+    assert not S.geometry_is_simple(dup)
+    assert S.geometry_is_simple(ok)
+    assert S.geometry_is_simple(W.box(0, 0, 1, 1))  # polygonal: by definition
+
+
+def test_is_closed_semantics():
+    # Functions.java:359-366: points/polygons closed by definition,
+    # GeometryCollection false
+    assert S.geometry_is_closed(W.point(1, 1))
+    assert S.geometry_is_closed(W.box(0, 0, 1, 1))
+    assert not S.geometry_is_closed(_ls((0, 0), (1, 1)))
+    assert S.geometry_is_closed(_ls((0, 0), (1, 0), (1, 1), (0, 0)))
+    coll = W.multi(W.GEOMETRYCOLLECTION, [W.point(0, 0)])
+    assert not S.geometry_is_closed(coll)
+
+
+def test_is_ring_column(spark):
+    rows = [
+        (bytearray(W.dumps(_ls((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)))),),  # ring
+        (bytearray(W.dumps(_ls((0, 0), (1, 1), (1, 0), (0, 1), (0, 0)))),),  # bowtie
+        (bytearray(W.dumps(_ls((0, 0), (1, 1)))),),  # open
+        (bytearray(W.dumps(W.point(3, 3))),),  # not a line
+    ]
+    df = spark.createDataFrame(rows, "wkb binary")
+    got = [r.r for r in df.select(S.st_is_ring(F.col("wkb")).alias("r")).collect()]
+    assert got == [True, False, False, False]
+
+
+# -- angle / diagonal / nrings ------------------------------------------------------
+
+def test_angle_three_point(spark):
+    # right angle at (0,0) from (1,0) to (0,1): JTS convention ->
+    # calcAngle(p2->p1, p2->p3) normalized to [0, 2pi)
+    rows = [
+        (
+            bytearray(W.dumps(W.point(1, 0))),
+            bytearray(W.dumps(W.point(0, 0))),
+            bytearray(W.dumps(W.point(0, 1))),
+        )
+    ]
+    df = spark.createDataFrame(rows, "p1 binary, p2 binary, p3 binary")
+    a = df.select(
+        S.st_angle(F.col("p1"), F.col("p2"), F.col("p3")).alias("a")
+    ).collect()[0].a
+    assert a == pytest.approx(3 * np.pi / 2)  # 0 - pi/2 normalized
+
+
+def test_angle_four_point(spark):
+    rows = [
+        (
+            bytearray(W.dumps(W.point(0, 0))),
+            bytearray(W.dumps(W.point(1, 1))),
+            bytearray(W.dumps(W.point(0, 0))),
+            bytearray(W.dumps(W.point(1, 0))),
+        )
+    ]
+    df = spark.createDataFrame(rows, "p1 binary, p2 binary, p3 binary, p4 binary")
+    a = df.select(
+        S.st_angle(F.col("p1"), F.col("p2"), F.col("p3"), F.col("p4")).alias("a")
+    ).collect()[0].a
+    assert a == pytest.approx(np.pi / 4)
+
+
+def test_bounding_diagonal(spark):
+    poly = W.box(1.0, 2.0, 5.0, 7.0)
+    df = spark.createDataFrame([(bytearray(W.dumps(poly)),)], "wkb binary")
+    out = W.loads(df.select(S.st_bounding_diagonal(F.col("wkb")).alias("d")).collect()[0].d)
+    assert out.kind == W.LINESTRING
+    assert tuple(out.parts[0]) == (1.0, 2.0) and tuple(out.parts[1]) == (5.0, 7.0)
+
+
+def test_nrings(spark):
+    donut = W.polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        holes=[[(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]],
+    )
+    mp = W.multi(W.MULTIPOLYGON, [donut, W.box(20, 20, 30, 30)])
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(donut)),), (bytearray(W.dumps(mp)),)], "wkb binary"
+    )
+    got = [r.n for r in df.select(S.st_nrings(F.col("wkb")).alias("n")).collect()]
+    assert got == [2, 3]
+    got2 = [
+        r.n for r in df.select(S.st_num_interior_rings(F.col("wkb")).alias("n")).collect()
+    ]
+    assert got2 == [1, None]
+
+
+# -- spheroid family -----------------------------------------------------------------
+
+def test_vincenty_known_values():
+    # equatorial 1-degree arc: a * pi/180 = 111319.4908 m (exact on any
+    # ellipsoid along the equator)
+    d = S.vincenty_inverse(0.0, 0.0, 0.0, 1.0)
+    assert d == pytest.approx(6378137.0 * np.pi / 180.0, abs=1e-3)
+    # meridian quadrant (pole to equator) = 10001965.729 m on WGS84
+    d = S.vincenty_inverse(0.0, 0.0, 90.0, 0.0)
+    assert d == pytest.approx(10001965.729, abs=0.01)
+    # symmetric + zero
+    assert S.vincenty_inverse(10, 20, 10, 20) == 0.0
+    assert S.vincenty_inverse(10, 20, 30, 40) == pytest.approx(
+        S.vincenty_inverse(30, 40, 10, 20), abs=1e-9
+    )
+
+
+def test_distance_spheroid_column(spark):
+    # reference convention: POINT(lat lon) — Spheroid.java:47-52
+    a = bytearray(W.dumps(W.point(0.0, 0.0)))
+    b = bytearray(W.dumps(W.point(0.0, 1.0)))
+    df = spark.createDataFrame([(a, b)], "wa binary, wb binary")
+    d = df.select(S.st_distance_spheroid(F.col("wa"), F.col("wb")).alias("d")).collect()[0].d
+    assert d == pytest.approx(111319.4908, abs=0.01)
+
+
+def test_length_and_area_spheroid(spark):
+    # 1x1 degree "square" at the equator, traversed as a closed ring
+    ring = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+    poly = W.polygon(ring)
+    df = spark.createDataFrame([(bytearray(W.dumps(poly)),)], "wkb binary")
+    L = df.select(S.st_length_spheroid(F.col("wkb")).alias("v")).collect()[0].v
+    # two equatorial-ish arcs (~111.32 km) + two meridian arcs (~110.57 km)
+    assert L == pytest.approx(2 * 111319.49 + 2 * 110574.39, rel=2e-4)
+    A = df.select(S.st_area_spheroid(F.col("wkb")).alias("v")).collect()[0].v
+    # sphere-model exact value for the quad: R^2 * dlon * d(sin lat)
+    sphere_exact = 6371007.1809**2 * np.radians(1.0) * np.sin(np.radians(1.0))
+    assert A == pytest.approx(sphere_exact, rel=1e-9)
+    # ellipsoidal truth ~12309 km^2: authalic-sphere model documented within ~0.5%
+    assert A == pytest.approx(12309e6, rel=1e-2)
+
+
+# -- geohash decode --------------------------------------------------------------------
+
+def test_geohash_decode_roundtrips_encode(spark):
+    """Decode(encode(p)) must contain p; known geohash 'u4pruydqqvj'
+    (Jutland test vector) decodes near (10.40744, 57.64911)."""
+    x0, x1, y0, y1 = S.geohash_to_bbox("u4pruydqqvj")
+    assert x0 <= 10.40744 <= x1 and y0 <= 57.64911 <= y1
+    assert (x1 - x0) < 1e-4 and (y1 - y0) < 1e-4
+    # precision truncation widens the box around the same point
+    X0, X1, Y0, Y1 = S.geohash_to_bbox("u4pruydqqvj", precision=5)
+    assert X0 <= 10.40744 <= X1 and (X1 - X0) > (x1 - x0)
+    with pytest.raises(ValueError):
+        S.geohash_to_bbox("u4a", precision=-1)
+
+    df = spark.createDataFrame([("u4pruydqqvj",)], "gh string")
+    g = W.loads(df.select(S.st_geom_from_geohash(F.col("gh")).alias("w")).collect()[0].w)
+    assert g.kind == W.POLYGON
+
+
+# -- conic CRS -------------------------------------------------------------------------
+
+def test_conic_definition_points():
+    """The false origin must map exactly to (FE, FN) — a golden from the EPSG
+    parameter definition itself."""
+    for code, (lon0, lat0, fe, fn) in {
+        2154: (3.0, 46.5, 700000.0, 6600000.0),
+        5070: (-96.0, 23.0, 0.0, 0.0),
+        3310: (-120.0, 0.0, 0.0, -4000000.0),
+    }.items():
+        x, y = _CONIC[code].forward(np.array([lon0]), np.array([lat0]))
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6
+
+
+def test_conic_roundtrip_and_paris_golden():
+    x, y = transform_xy([2.3522], [48.8566], "epsg:4326", "epsg:2154")
+    # Paris in Lambert-93 (published: ~652469, 6862035)
+    assert x[0] == pytest.approx(652469.02, abs=0.5)
+    assert y[0] == pytest.approx(6862035.26, abs=0.5)
+    lo, la = transform_xy(x, y, "epsg:2154", "epsg:4326")
+    assert lo[0] == pytest.approx(2.3522, abs=1e-9)
+    assert la[0] == pytest.approx(48.8566, abs=1e-9)
+
+
+def test_lcc_scale_one_on_standard_parallels():
+    c = _CONIC[2154]
+    for latp in (44.0, 49.0):
+        eps = 1e-6
+        x1, y1 = c.forward(np.array([2.0]), np.array([latp]))
+        x2, y2 = c.forward(np.array([2.0 + eps]), np.array([latp]))
+        ground = np.radians(eps) * c._m(np.radians(latp)) * c.a
+        k = float(np.hypot(x2 - x1, y2 - y1) / ground)
+        assert k == pytest.approx(1.0, abs=1e-6)
+
+
+def test_albers_is_equal_area():
+    c = _CONIC[5070]
+    for lo_, la_ in ((-100.0, 30.0), (-80.0, 45.0)):
+        eps = 1e-6
+        x0, y0 = c.forward(np.array([lo_]), np.array([la_]))
+        xl, yl = c.forward(np.array([lo_ + eps]), np.array([la_]))
+        xp, yp = c.forward(np.array([lo_]), np.array([la_ + eps]))
+        J = abs(float((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))) / np.radians(eps) ** 2
+        phi = np.radians(la_)
+        es = (c.e * np.sin(phi)) ** 2
+        elem = c.a**2 * (1 - c.e**2) * np.cos(phi) / (1 - es) ** 2
+        assert J / elem == pytest.approx(1.0, abs=1e-4)
+
+
+def test_st_transform_conic_column(spark):
+    from incubator_sedona_spark.functions.crs import st_transform
+    from incubator_sedona_spark.functions.st import st_point, st_x, st_y
+
+    df = spark.createDataFrame([(2.3522, 48.8566)], "lon double, lat double")
+    out = (
+        df.withColumn("wkb", st_point(F.col("lon"), F.col("lat")))
+        .withColumn("p", st_transform(F.col("wkb"), "epsg:4326", "epsg:2154"))
+        .select(st_x(F.col("p")).alias("x"), st_y(F.col("p")).alias("y"))
+        .collect()[0]
+    )
+    assert out.x == pytest.approx(652469.02, abs=0.5)
+    assert out.y == pytest.approx(6862035.26, abs=0.5)
+
+
+# -- SRID ------------------------------------------------------------------------
+
+def test_srid_serde_and_functions(spark):
+    g = W.point(1.0, 2.0)
+    g.srid = 4326
+    buf = W.dumps(g)
+    assert W.loads(buf).srid == 4326
+    df = spark.createDataFrame([(bytearray(W.dumps(W.point(5.0, 6.0))),)], "wkb binary")
+    out = df.select(
+        S.st_srid(F.col("wkb")).alias("s0"),
+        S.st_srid(S.st_set_srid(F.col("wkb"), 3857)).alias("s1"),
+    ).collect()[0]
+    assert out.s0 == 0 and out.s1 == 3857
+    # set_srid preserves coordinates
+    w2 = df.select(S.st_set_srid(F.col("wkb"), 3857).alias("w")).collect()[0].w
+    assert tuple(W.loads(w2).parts[0]) == (5.0, 6.0)
+
+
+def test_spatial_join_srid_mismatch_guard(spark):
+    import pytest as _pt
+
+    from incubator_sedona_spark.cells import Grid
+    from incubator_sedona_spark.operators.joins import spatial_join
+
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 3)
+    za = spark.createDataFrame(
+        [(0, bytearray(W.dumps(W.box(0, 0, 10, 10))), 4326)], "lid int, wkb binary, srid int"
+    )
+    zb_mixed = spark.createDataFrame(
+        [(1, bytearray(W.dumps(W.box(5, 5, 15, 15))), 3857)], "rid int, wkb binary, srid int"
+    )
+    with _pt.raises(ValueError, match="mixed SRIDs"):
+        spatial_join(za, zb_mixed, "intersects", grid=grid)
+    # override proceeds
+    got = spatial_join(za, zb_mixed, "intersects", grid=grid, assume_same_crs=True)
+    assert got.count() == 1
+    # matching SRIDs proceed without the flag
+    zb_same = zb_mixed.withColumn("srid", F.lit(4326))
+    assert spatial_join(za, zb_same, "intersects", grid=grid).count() == 1
+    # sides without the sidecar column are untouched (CRS-less convention)
+    assert (
+        spatial_join(za.drop("srid"), zb_mixed, "intersects", grid=grid).count() == 1
+    )

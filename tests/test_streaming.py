@@ -77,3 +77,65 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     by_text = {r.text: r.doc_id for r in rows}
     assert by_text["alpha text"] in (0, 2) and by_text["beta text"] == 1
     assert by_text["gamma text"] == 4
+
+
+def test_streaming_dedup_ttl_eviction(spark, tmp_path):
+    """3-batch eviction proof: (1) in-window duplicates drop, (2) a key with
+    no traffic past the TTL is EVICTED (state removed on a later trigger),
+    (3) a post-eviction re-arrival re-emits as a fresh first occurrence —
+    i.e. state size stays bounded by the TTL window while in-window dedup
+    holds."""
+    import time
+
+    from incubator_sedona_spark.streaming.ops import streaming_exact_dedup
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    b1 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "alpha text")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # 0.05 min = 3 s TTL
+    out = streaming_exact_dedup(stream, timeout_minutes=0.05)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _wait_rows(n, timeout_s=120):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM ttl_out").collect()[0].c >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        _wait_rows(1)  # batch 1: alpha emitted once (in-batch duplicate dropped)
+        time.sleep(5.0)  # > TTL with no alpha traffic
+        # batch 2: unrelated key — the trigger where alpha's timeout fires
+        spark.createDataFrame([(4, "beta text")], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        _wait_rows(2)
+        time.sleep(2.0)  # give the eviction trigger time to run
+        # batch 3: alpha re-arrives AFTER eviction -> re-emitted
+        spark.createDataFrame([(9, "alpha text")], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        _wait_rows(3)
+        rows = spark.sql("SELECT * FROM ttl_out ORDER BY doc_id").collect()
+    finally:
+        q.stop()
+    ids = [r.doc_id for r in rows]
+    assert 0 in ids and 1 not in ids  # in-window duplicate dropped
+    assert 4 in ids
+    assert 9 in ids  # post-eviction re-emit proves the state row was removed
