@@ -294,6 +294,92 @@ def q_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 conic CRSs under the gate: 4326 -> Lambert-93 (EPSG 2154,
+    LCC 2SP) -> 4326 -> CONUS Albers (5070) -> 4326 roundtrip reproduces the
+    inputs (engine roundtrip error ~1e-9 deg << the 1e-6 rounding quantum).
+    The synthetic [0,100)^2 frame is mapped into each projection's validity
+    window."""
+    from incubator_sedona_spark.functions.crs import st_transform
+    from incubator_sedona_spark.functions.st import st_point, st_x, st_y
+
+    cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
+    pts = cust.select(
+        "c_custkey",
+        (F.col("x") * 0.1 - 5.0).alias("lon"),      # [-5, 5) deg: France-ish
+        (F.col("y") * 0.08 + 42.0).alias("lat"),    # [42, 50)
+    ).withColumn("wkb", st_point(F.col("lon"), F.col("lat")))
+    rt = pts.withColumn(
+        "w1",
+        st_transform(
+            st_transform(F.col("wkb"), "epsg:4326", "epsg:2154"),
+            "epsg:2154",
+            "epsg:4326",
+        ),
+    )
+    # second hop through Albers on a US window derived from the same frame
+    us = cust.select(
+        "c_custkey",
+        (F.col("x") * 0.5 - 120.0).alias("ulon"),   # [-120, -70)
+        (F.col("y") * 0.2 + 28.0).alias("ulat"),    # [28, 48)
+    ).withColumn("uwkb", st_point(F.col("ulon"), F.col("ulat")))
+    rt2 = us.withColumn(
+        "w2",
+        st_transform(
+            st_transform(F.col("uwkb"), "epsg:4326", "epsg:5070"),
+            "epsg:5070",
+            "epsg:4326",
+        ),
+    )
+    j = rt.join(rt2, "c_custkey")
+    return j.select(
+        "c_custkey",
+        F.round(st_x(F.col("w1")), 6).alias("lcc_lon"),
+        F.round(st_y(F.col("w1")), 6).alias("lcc_lat"),
+        F.round(st_x(F.col("w2")), 6).alias("alb_lon"),
+        F.round(st_y(F.col("w2")), 6).alias("alb_lat"),
+    )
+
+
+def q_angle_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Angle (3-point form) under the gate: angle at the supplier point
+    between the same-key customer point and the frame center (50,50); the
+    oracle recomputes the JTS azimuth-difference normalization in SQL."""
+    from incubator_sedona_spark.functions.scalars import st_angle
+    from incubator_sedona_spark.functions.st import st_point
+
+    supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
+    sp = supp.select(
+        "s_suppkey",
+        F.col("wkb").alias("p2"),
+        st_point(_lon(F.col("s_suppkey") + 13), _lat(F.col("s_suppkey") + 13)).alias("p1"),
+        st_point(F.lit(50.0), F.lit(50.0)).alias("p3"),
+    )
+    return sp.select(
+        "s_suppkey", F.round(st_angle(F.col("p1"), F.col("p2"), F.col("p3")), 9).alias("ang")
+    )
+
+
+def q_bounding_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BoundingDiagonal of each zone polygon -> its (min, max) corners."""
+    from incubator_sedona_spark.functions.scalars import st_bounding_diagonal
+    from incubator_sedona_spark.functions.st import st_x, st_y
+
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    d = zones.select(
+        "n_nationkey", st_bounding_diagonal(F.col("wkb")).alias("diag")
+    )
+    from incubator_sedona_spark.functions.editors import st_point_n
+
+    return d.select(
+        "n_nationkey",
+        F.round(st_x(st_point_n(F.col("diag"), 1)), 6).alias("x0"),
+        F.round(st_y(st_point_n(F.col("diag"), 1)), 6).alias("y0"),
+        F.round(st_x(st_point_n(F.col("diag"), 2)), 6).alias("x1"),
+        F.round(st_y(st_point_n(F.col("diag"), 2)), 6).alias("y1"),
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     out = assign_tiles(cust, "x", "y", (0.0, 0.0, 100.0, 100.0), 16, 16)
@@ -461,6 +547,17 @@ def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_cosine_pairs_exact(e, threshold=0.4).select("id_a", "id_b")
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filter set-similarity self-join (PPJoin family): same
+    measure as minhash_pairs but with zero probabilistic misses — the
+    deterministic-dedup path.  Oracle: the identical all-pairs exact
+    char-5-shingle Jaccard filter."""
+    from incubator_sedona_spark.pipeline.setjoin import exact_jaccard_self_join
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_jaccard_self_join(d, threshold=0.8).select("id_a", "id_b")
+
+
 def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell row-count ledger over customer points (metrics surface)."""
     from incubator_sedona_spark.plans.metrics import cell_metrics
@@ -524,6 +621,26 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+_EXACT_JACCARD_ORACLE = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(1, length(text) - 4)),
+               i -> substr(text, i, 5))) AS s
+      FROM documents
+    ),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+             count(*) AS shared
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b FROM p
+    WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+"""
+
+
 def _simhash_oracle_sql() -> str:
     """All-pairs SimHash hamming filter, recomputing the md5-token signature
     bit-for-bit in SQL (same votes as pipeline.dedup.simhash64)."""
@@ -581,6 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_box": q_range_box,
         "polygon_dedup_join": q_polygon_dedup_join,
         "tile_assign": q_tile_assign,
+        "transform_conic": q_transform_conic,
+        "angle_points": q_angle_points,
+        "bounding_diag": q_bounding_diag,
         "envelope_aggr": q_envelope_aggr,
         "knn_join": q_knn_join,
         "tpch_q1": q_tpch_q1,
@@ -593,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "minhash_pairs": q_minhash_pairs,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -831,24 +952,10 @@ def oracle_sql() -> dict[str, str]:
         # The LSH queries verify candidates EXACTLY (char-shingle jaccard /
         # md5-bit hamming / cosine), so their oracles are plain all-pairs
         # filters over the same exact measure — LSH only prunes the search.
-        "minhash_pairs": r"""
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(1, length(text) - 4)),
-                       i -> substr(text, i, 5))) AS s
-              FROM documents
-            ),
-            e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
-            p AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
-                     count(*) AS shared
-              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3, 4
-            )
-            SELECT id_a, id_b FROM p
-            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
-        """,
+        # ppjoin_pairs computes the IDENTICAL measure with deterministic
+        # prefix-filter candidates, hence the same oracle.
+        "minhash_pairs": _EXACT_JACCARD_ORACLE,
+        "ppjoin_pairs": _EXACT_JACCARD_ORACLE,
         "simhash_pairs": _simhash_oracle_sql(),
         "overlay_area": _overlay_oracle_sql(),
         # buffered 16x16 zone with d=3, 32-gon corners:
@@ -863,6 +970,43 @@ def oracle_sql() -> dict[str, str]:
                    round(({_lon_sql('c_custkey')}) * 0.06, 6) AS lon_r,
                    round(({_lat_sql('c_custkey')}) * 0.8 - 40.0, 6) AS lat_r
             FROM customer
+        """,
+        "transform_conic": f"""
+            SELECT c_custkey,
+                   round(({_lon_sql('c_custkey')}) * 0.1 - 5.0, 6) AS lcc_lon,
+                   round(({_lat_sql('c_custkey')}) * 0.08 + 42.0, 6) AS lcc_lat,
+                   round(({_lon_sql('c_custkey')}) * 0.5 - 120.0, 6) AS alb_lon,
+                   round(({_lat_sql('c_custkey')}) * 0.2 + 28.0, 6) AS alb_lat
+            FROM customer
+        """,
+        # JTS Angle convention: a = norm(azimuth(p2->p1)) - norm(azimuth(p2->p3)),
+        # each azimuth = atan2(dy, dx), all three normalized into [0, 2pi)
+        "angle_points": f"""
+            WITH p AS (
+              SELECT s_suppkey,
+                     {_lon_sql('s_suppkey')} AS x2, {_lat_sql('s_suppkey')} AS y2,
+                     {_lon_sql('s_suppkey + 13')} AS x1, {_lat_sql('s_suppkey + 13')} AS y1
+              FROM supplier
+            ),
+            az AS (
+              SELECT s_suppkey,
+                     CASE WHEN atan2(y1 - y2, x1 - x2) < 0
+                          THEN atan2(y1 - y2, x1 - x2) + 2 * pi()
+                          ELSE atan2(y1 - y2, x1 - x2) END AS a1,
+                     CASE WHEN atan2(50.0 - y2, 50.0 - x2) < 0
+                          THEN atan2(50.0 - y2, 50.0 - x2) + 2 * pi()
+                          ELSE atan2(50.0 - y2, 50.0 - x2) END AS a2
+              FROM p
+            )
+            SELECT s_suppkey,
+                   round(CASE WHEN a1 - a2 < 0 THEN a1 - a2 + 2 * pi() ELSE a1 - a2 END, 9) AS ang
+            FROM az
+        """,
+        "bounding_diag": f"""
+            SELECT n_nationkey,
+                   round(zxmin, 6) AS x0, round(zymin, 6) AS y0,
+                   round(zxmax, 6) AS x1, round(zymax, 6) AS y1
+            FROM ({_SQL_ZONES.format(off=2.0, side=16.0)})
         """,
         "union_area": """
             WITH z AS (

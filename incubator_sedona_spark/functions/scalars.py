@@ -489,6 +489,209 @@ def st_geom_from_geohash(gh_col: Column, precision: int | None = None) -> Column
     return _f(gh_col)
 
 
+# -- small accessors (ST_Dimension, ST_IsEmpty, ST_XMin..YMax, ST_Degrees) ---------
+
+
+def geometry_dimension(g: W.Geometry) -> int:
+    """Topological dimension, JTS Geometry.getDimension: 0 points, 1 lines,
+    2 polygons; collections take the max over children (empty -> 0)."""
+    dims = []
+    for leaf in g.leaves():
+        if leaf.kind == W.POINT:
+            dims.append(0)
+        elif leaf.kind == W.LINESTRING:
+            dims.append(1)
+        else:
+            dims.append(2)
+    return max(dims, default=0)
+
+
+def st_dimension(wkb_col: Column) -> Column:
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([geometry_dimension(W.loads(b)) for b in s])
+
+    return _f(wkb_col)
+
+
+def st_is_empty(wkb_col: Column) -> Column:
+    return _bool_udf(lambda g: len(g.vertices()) == 0)(wkb_col)
+
+
+def _bound_udf(idx: int):
+    @F.pandas_udf(DoubleType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.loads(b).bounds[idx] for b in s])
+
+    return _f
+
+
+def st_xmin(wkb_col: Column) -> Column:
+    return _bound_udf(0)(wkb_col)
+
+
+def st_ymin(wkb_col: Column) -> Column:
+    return _bound_udf(1)(wkb_col)
+
+
+def st_xmax(wkb_col: Column) -> Column:
+    return _bound_udf(2)(wkb_col)
+
+
+def st_ymax(wkb_col: Column) -> Column:
+    return _bound_udf(3)(wkb_col)
+
+
+def st_degrees(rad_col: Column) -> Column:
+    """ST_Degrees — radians to degrees (pure Catalyst)."""
+    return F.degrees(rad_col)
+
+
+def st_dump_points(wkb_col: Column) -> Column:
+    """array<binary> of every vertex as a Point WKB (ST_DumpPoints);
+    explode() the result for the row-per-point form."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            v = W.loads(b).vertices()
+            out.append([W.dumps(W.point(float(x), float(y))) for x, y in v])
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+# -- ST_AsEWKT / ST_AsEWKB ----------------------------------------------------------
+
+
+def st_as_ewkb(wkb_col: Column) -> Column:
+    """EWKB bytes: identical to the stored WKB (the serde already embeds a
+    nonzero SRID as the EWKB header flag) — re-serialized for normalization."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.dumps(W.loads(b)) for b in s])
+
+    return _f(wkb_col)
+
+
+def st_as_ewkt(wkb_col: Column) -> Column:
+    """EWKT: 'SRID=nnnn;<wkt>' when an SRID is set, plain WKT otherwise."""
+    from pyspark.sql.types import StringType
+
+    from incubator_sedona_spark.functions.st import _to_wkt
+
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            wkt = _to_wkt(g)
+            out.append(f"SRID={g.srid};{wkt}" if g.srid else wkt)
+        return pd.Series(out)
+
+    return _f(wkb_col)
+
+
+# -- ST_BuildArea ---------------------------------------------------------------------
+
+
+def build_area_geometry(g: W.Geometry) -> W.Geometry:
+    """Polygons from closed linework (JTS Polygonizer semantics for the
+    common case): every closed ring in the input becomes a boundary; ring
+    nesting by even-odd containment depth decides shells (even) vs holes
+    (odd, attached to their immediately-enclosing shell).  Rings that are
+    not closed are ignored (the Polygonizer's dangling-edge behavior)."""
+    rings = []
+    for leaf in g.leaves():
+        cand = leaf.parts if leaf.kind == W.POLYGON else [leaf.parts]
+        for r in cand:
+            r = np.asarray(r, dtype=np.float64)[:, :2]
+            if len(r) >= 4 and np.array_equal(r[0], r[-1]):
+                rings.append(r)
+    if not rings:
+        return W.multi(W.GEOMETRYCOLLECTION, [])
+
+    def _contains(outer: np.ndarray, inner: np.ndarray) -> bool:
+        # even-odd test of a point ON the inner ring (its first-edge
+        # midpoint): unlike the vertex mean, a boundary point of inner can
+        # never lie inside a ring that inner itself encloses, so nesting
+        # depth is computed correctly for concentric rings
+        px, py = (inner[0, 0] + inner[1, 0]) / 2.0, (inner[0, 1] + inner[1, 1]) / 2.0
+        x1, y1 = outer[:-1, 0], outer[:-1, 1]
+        x2, y2 = outer[1:, 0], outer[1:, 1]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        return bool(np.count_nonzero(cond & (xs > px)) % 2)
+
+    depth = [sum(1 for j, o in enumerate(rings) if j != i and _contains(o, r))
+             for i, r in enumerate(rings)]
+    shells = [i for i, d in enumerate(depth) if d % 2 == 0]
+    polys = []
+    for i in shells:
+        holes = [
+            rings[j]
+            for j, d in enumerate(depth)
+            if d == depth[i] + 1 and _contains(rings[i], rings[j])
+        ]
+        polys.append(W.Geometry(W.POLYGON, [rings[i]] + holes))
+    if len(polys) == 1:
+        return polys[0]
+    return W.multi(W.MULTIPOLYGON, polys)
+
+
+def st_build_area(wkb_col: Column) -> Column:
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.dumps(build_area_geometry(W.loads(b))) for b in s])
+
+    return _f(wkb_col)
+
+
+# -- ST_SimplifyPreserveTopology ---------------------------------------------------
+
+
+def st_simplify_preserve_topology(wkb_col: Column, tolerance: float) -> Column:
+    """Douglas-Peucker with a validity guard per ring: if simplification
+    collapses a ring (< 4 points) or introduces a self-intersection, the
+    tolerance is halved and retried (keeping the original ring at the
+    floor).  Weaker than JTS TopologyPreservingSimplifier (which also
+    preserves cross-component topology) but honors the core contract —
+    output polygons stay valid and non-empty.  Documented approximation."""
+    from incubator_sedona_spark.functions.st import _dp_simplify
+
+    def _ring_ok(r: np.ndarray) -> bool:
+        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+            return False
+        return _linestring_is_simple(r)
+
+    def _simp(g: W.Geometry) -> W.Geometry:
+        if g.kind == W.POINT:
+            return g
+        if g.kind == W.LINESTRING:
+            return W.Geometry(W.LINESTRING, _dp_simplify(g.parts[:, :2], tolerance))
+        if g.kind == W.POLYGON:
+            rings = []
+            for r in g.parts:
+                tol = tolerance
+                out = _dp_simplify(r[:, :2], tol)
+                while not _ring_ok(out) and tol > tolerance / 64.0:
+                    tol /= 2.0
+                    out = _dp_simplify(r[:, :2], tol)
+                rings.append(out if _ring_ok(out) else r[:, :2])
+            return W.Geometry(W.POLYGON, rings)
+        return W.Geometry(g.kind, [_simp(c) for c in g.parts])
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.dumps(_simp(W.loads(b))) for b in s])
+
+    return _f(wkb_col)
+
+
 # -- SRID (ST_SRID / ST_SetSRID) --------------------------------------------------
 # The serde carries a nonzero SRID through the EWKB header flag (wkb.Geometry
 # .srid; GeometrySerializer hasSrid preamble parity).  Convention for

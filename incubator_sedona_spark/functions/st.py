@@ -155,13 +155,20 @@ def _parse_wkt(text: str) -> W.Geometry:
     raise ValueError(f"unsupported WKT {head}")
 
 
+def _wkt_num(x) -> str:
+    # shortest exact-roundtrip decimal (JTS WKTWriter style: '5' not '5.0',
+    # full precision otherwise — '%g' would truncate to 6 significant digits)
+    r = repr(float(x))
+    return r[:-2] if r.endswith(".0") else r
+
+
 def _to_wkt(g: W.Geometry) -> str:
     def ring_s(r):
-        return "(" + ", ".join(f"{p[0]:g} {p[1]:g}" for p in r) + ")"
+        return "(" + ", ".join(f"{_wkt_num(p[0])} {_wkt_num(p[1])}" for p in r) + ")"
 
     if g.kind == W.POINT:
         p = g.parts[0]
-        return f"POINT ({p[0]:g} {p[1]:g})"
+        return f"POINT ({_wkt_num(p[0])} {_wkt_num(p[1])})"
     if g.kind == W.LINESTRING:
         return "LINESTRING " + ring_s(g.parts)
     if g.kind == W.POLYGON:
@@ -173,7 +180,15 @@ def _to_wkt(g: W.Geometry) -> str:
             + ")"
         )
     if g.kind == W.MULTIPOINT:
-        return "MULTIPOINT (" + ", ".join(f"({p[0]:g} {p[1]:g})" for c in g.parts for p in c.parts) + ")"
+        return (
+            "MULTIPOINT ("
+            + ", ".join(f"({_wkt_num(p[0])} {_wkt_num(p[1])})" for c in g.parts for p in c.parts)
+            + ")"
+        )
+    if g.kind == W.MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(ring_s(c.parts) for c in g.parts) + ")"
+    if g.kind == W.GEOMETRYCOLLECTION:
+        return "GEOMETRYCOLLECTION (" + ", ".join(_to_wkt(c) for c in g.parts) + ")"
     raise ValueError("unsupported for WKT output")
 
 
@@ -450,27 +465,34 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
+def _dp_simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on an (n, 2) coordinate array (Z/M dropped)."""
+    coords = np.asarray(coords, dtype=np.float64)[:, :2]
+    if len(coords) <= 2:
+        return coords
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = np.array([[*coords[i], *coords[j]]])
+        d = K.points_to_segments_dist(coords[i + 1 : j], seg)
+        kk = int(np.argmax(d))
+        if d[kk] > tol:
+            keep[i + 1 + kk] = True
+            stack += [(i, i + 1 + kk), (i + 1 + kk, j)]
+    return coords[keep]
+
+
 def st_simplify(wkb_col: Column, tol: float) -> Column:
-    """Douglas-Peucker per ring/line (ST_SimplifyPreserveTopology approximation;
-    reference uses JTS TopologyPreservingSimplifier, Functions.java:588-590)."""
+    """Douglas-Peucker per ring/line (plain ST_Simplify; see
+    functions.scalars.st_simplify_preserve_topology for the validity-guarded
+    form)."""
 
     def dp(coords: np.ndarray) -> np.ndarray:
-        if len(coords) <= 2:
-            return coords
-        keep = np.zeros(len(coords), dtype=bool)
-        keep[0] = keep[-1] = True
-        stack = [(0, len(coords) - 1)]
-        while stack:
-            i, j = stack.pop()
-            if j <= i + 1:
-                continue
-            seg = np.array([[*coords[i], *coords[j]]])
-            d = K.points_to_segments_dist(coords[i + 1 : j], seg)
-            kk = int(np.argmax(d))
-            if d[kk] > tol:
-                keep[i + 1 + kk] = True
-                stack += [(i, i + 1 + kk), (i + 1 + kk, j)]
-        return coords[keep]
+        return _dp_simplify(coords, tol)
 
     @F.pandas_udf(BinaryType())
     def _f(s: pd.Series) -> pd.Series:

@@ -405,8 +405,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs sharing >=1 n-gram.
 
-    Native: split -> n-gram arrays -> explode -> equi-join on the n-gram hash
-    -> per-pair shared count -> |A∪B| = |A|+|B|-shared.  All built-ins.
+    Native: split once -> explode gram positions -> xxhash64 of each slice in
+    a whole-stage-codegen projection (NOT a transform() lambda: HOF lambdas
+    are evaluated interpreted and re-run the split per element — measured
+    minutes vs seconds at sf0.1) -> per-doc distinct -> equi-join on the
+    n-gram hash -> per-pair shared count -> |A∪B| = |A|+|B|-shared.
 
     ``max_df`` drops n-grams occurring in more than that many documents from
     the gram SETS themselves (both the join keys and the set sizes), so the
@@ -414,19 +417,28 @@ def ngram_jaccard_pairs(
     apply the identical document-frequency filter, keeping results exact.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - n)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        )
+    rows = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.col("__toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("__toks") - (n - 1)))
+        ).alias("__i"),
     )
-    g = df.select(F.col(id_col), grams.alias("grams")).where(F.size("grams") > 0)
+    e0 = rows.select(
+        id_col,
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n))).alias(
+            "gram"
+        ),
+    ).dropDuplicates([id_col, "gram"])
+    # persisted: consumed by both sides of the pair self-join (plus the df
+    # and size aggregates in the capped form) — (id, gram) longs only
+    e0 = e0.persist()
     if max_df is None:
-        e = g.select(id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+        sizes = e0.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+        e = e0.join(sizes, id_col)
     else:
-        e = g.select(id_col, F.explode("grams").alias("gram"))
-        dfreq = e.groupBy("gram").agg(F.count("*").alias("__df"))
-        e = e.join(dfreq.where(F.col("__df") <= max_df), "gram").drop("__df")
+        dfreq = e0.groupBy("gram").agg(F.count("*").alias("__df"))
+        e = e0.join(dfreq.where(F.col("__df") <= max_df).drop("__df"), "gram")
         sizes = e.groupBy(id_col).agg(F.count("*").alias("n_grams"))
         e = e.join(sizes, id_col)
     a = e.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")

@@ -288,3 +288,97 @@ def test_spatial_join_srid_mismatch_guard(spark):
     assert (
         spatial_join(za.drop("srid"), zb_mixed, "intersects", grid=grid).count() == 1
     )
+
+
+# -- small accessors / EWKT / BuildArea / topology-safe simplify --------------------
+
+def test_small_accessors(spark):
+    rows = [
+        (bytearray(W.dumps(W.point(3.0, 4.0))),),
+        (bytearray(W.dumps(_ls((0, 0), (5, 5)))),),
+        (bytearray(W.dumps(W.box(1, 2, 6, 9))),),
+    ]
+    df = spark.createDataFrame(rows, "wkb binary")
+    got = df.select(
+        S.st_dimension(F.col("wkb")).alias("dim"),
+        S.st_is_empty(F.col("wkb")).alias("emp"),
+        S.st_xmin(F.col("wkb")).alias("x0"),
+        S.st_ymax(F.col("wkb")).alias("y1"),
+    ).collect()
+    assert [r.dim for r in got] == [0, 1, 2]
+    assert not any(r.emp for r in got)
+    assert got[2].x0 == 1.0 and got[2].y1 == 9.0
+    deg = spark.range(1).select(S.st_degrees(F.lit(np.pi)).alias("d")).collect()[0].d
+    assert deg == pytest.approx(180.0)
+
+
+def test_dump_points(spark):
+    df = spark.createDataFrame([(bytearray(W.dumps(W.box(0, 0, 1, 1))),)], "wkb binary")
+    pts = df.select(F.explode(S.st_dump_points(F.col("wkb"))).alias("p")).collect()
+    assert len(pts) == 5  # closed ring vertices
+    assert all(W.loads(r.p).kind == W.POINT for r in pts)
+
+
+def test_as_ewkt_and_ewkb(spark):
+    g = W.point(1.5, 2.5)
+    g.srid = 4326
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(g)),), (bytearray(W.dumps(W.point(3.0, 4.0))),)], "wkb binary"
+    )
+    got = df.select(S.st_as_ewkt(F.col("wkb")).alias("t")).collect()
+    assert got[0].t == "SRID=4326;POINT (1.5 2.5)"
+    assert got[1].t == "POINT (3 4)"
+    ewkb = df.select(S.st_as_ewkb(F.col("wkb")).alias("b")).collect()
+    assert W.loads(ewkb[0].b).srid == 4326
+
+
+def test_wkt_full_precision():
+    from incubator_sedona_spark.functions.st import _to_wkt
+
+    assert _to_wkt(W.point(-122.419416, 37.774929)) == "POINT (-122.419416 37.774929)"
+    assert _to_wkt(W.point(5.0, 7.0)) == "POINT (5 7)"
+    mls = W.multi(
+        W.MULTILINESTRING,
+        [_ls((0, 0), (1, 1)), _ls((2, 2), (3, 3))],
+    )
+    assert _to_wkt(mls) == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+    gc = W.multi(W.GEOMETRYCOLLECTION, [W.point(1, 2)])
+    assert _to_wkt(gc) == "GEOMETRYCOLLECTION (POINT (1 2))"
+
+
+def test_build_area(spark):
+    # outer ring + inner (hole) ring as a MultiLineString -> donut polygon
+    outer = _ls((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+    inner = _ls((3, 3), (6, 3), (6, 6), (3, 6), (3, 3))
+    mls = W.multi(W.MULTILINESTRING, [outer, inner])
+    df = spark.createDataFrame([(bytearray(W.dumps(mls)),)], "wkb binary")
+    g = W.loads(df.select(S.st_build_area(F.col("wkb")).alias("w")).collect()[0].w)
+    assert g.kind == W.POLYGON and len(g.parts) == 2  # shell + hole
+    # island inside the hole -> MultiPolygon (depth-2 ring is a new shell)
+    island = _ls((4, 4), (5, 4), (5, 5), (4, 5), (4, 4))
+    mls2 = W.multi(W.MULTILINESTRING, [outer, inner, island])
+    df2 = spark.createDataFrame([(bytearray(W.dumps(mls2)),)], "wkb binary")
+    g2 = W.loads(df2.select(S.st_build_area(F.col("wkb")).alias("w")).collect()[0].w)
+    assert g2.kind == W.MULTIPOLYGON and len(g2.parts) == 2
+
+
+def test_simplify_preserve_topology(spark):
+    # a ring whose naive DP at huge tolerance would collapse below 4 points:
+    # the guard must keep it a valid ring
+    ring = W.polygon([(0, 0), (4, 0.1), (8, 0), (8, 8), (0, 8), (0, 0)])
+    df = spark.createDataFrame([(bytearray(W.dumps(ring)),)], "wkb binary")
+    g = W.loads(
+        df.select(S.st_simplify_preserve_topology(F.col("wkb"), 1000.0).alias("w"))
+        .collect()[0]
+        .w
+    )
+    assert g.kind == W.POLYGON
+    r = g.parts[0]
+    assert len(r) >= 4 and np.array_equal(r[0], r[-1])
+    # moderate tolerance removes the near-collinear vertex
+    g2 = W.loads(
+        df.select(S.st_simplify_preserve_topology(F.col("wkb"), 0.5).alias("w"))
+        .collect()[0]
+        .w
+    )
+    assert len(g2.parts[0]) == 5
