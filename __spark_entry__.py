@@ -558,6 +558,45 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_self_join(d, threshold=0.8).select("id_a", "id_b")
 
 
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster STRUCT model under the gate: per nation, build a 4x4 2-band
+    raster (RS_MakeEmptyRaster + RS_AddBandFromArray), then RS_Mean,
+    RS_NormalizedDifference fold, RS_Value world-coordinate lookup, RS_Mode
+    cardinality and an RS_BitwiseAnd fold — all pure Catalyst, oracle
+    recomputes each from the same deterministic band formula in SQL."""
+    from incubator_sedona_spark.operators import raster as R
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    n = F.col("n_nationkey")
+    idx = F.sequence(F.lit(0), F.lit(15))
+    b1 = F.transform(idx, lambda i: ((n * 31 + i * 7) % 17).cast("double"))
+    b2 = F.transform(idx, lambda i: ((n * 13 + i * i) % 23).cast("double"))
+    r = R.rs_make_empty_raster(
+        1, 4, 4, (n * 10).cast("double"), F.lit(50.0), pixel_size=2.0
+    )
+    r = R.rs_add_band_from_array(r, b1, 1)
+    r = R.rs_add_band_from_array(r, b2)  # append as band 2
+    df = nat.select(n, r.alias("r"), b1.alias("b1"), b2.alias("b2"))
+    nd = R.rs_normalized_difference(F.col("b1"), F.col("b2"))
+    return df.select(
+        "n_nationkey",
+        F.round(R.rs_mean(F.col("b1")), 6).alias("mean1"),
+        F.round(F.aggregate(nd, F.lit(0.0), lambda a, x: a + x), 6).alias("nd_sum"),
+        R.rs_value_struct(
+            F.col("r"), (n * 10 + 5).cast("double"), F.lit(47.0), band=2
+        ).alias("v2"),
+        F.size(R.rs_mode(F.col("b1"))).cast("long").alias("mode_n"),
+        F.round(
+            F.aggregate(
+                R.rs_bitwise_and(F.col("b1"), F.col("b2")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("and_sum"),
+    )
+
+
 def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell row-count ledger over customer points (metrics surface)."""
     from incubator_sedona_spark.plans.metrics import cell_metrics
@@ -701,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_conic": q_transform_conic,
         "angle_points": q_angle_points,
         "bounding_diag": q_bounding_diag,
+        "raster_stats": q_raster_stats,
         "envelope_aggr": q_envelope_aggr,
         "knn_join": q_knn_join,
         "tpch_q1": q_tpch_q1,
@@ -1007,6 +1047,37 @@ def oracle_sql() -> dict[str, str]:
                    round(zxmin, 6) AS x0, round(zymin, 6) AS y0,
                    round(zxmax, 6) AS x1, round(zymax, 6) AS y1
             FROM ({_SQL_ZONES.format(off=2.0, side=16.0)})
+        """,
+        # raster band formulas inlined identically on both sides; the world
+        # coordinate (n*10+5, 47) lands on grid (col 2, row 1) -> element 7
+        "raster_stats": """
+            WITH b AS (
+              SELECT n_nationkey,
+                     list_transform(range(16),
+                       i -> CAST((n_nationkey*31 + i*7) % 17 AS DOUBLE)) AS b1,
+                     list_transform(range(16),
+                       i -> CAST((n_nationkey*13 + i*i) % 23 AS DOUBLE)) AS b2
+              FROM nation
+            ),
+            m AS (
+              SELECT n_nationkey, b1, b2,
+                     list_max(list_transform(list_distinct(b1),
+                       v -> length(list_filter(b1, x -> x = v)))) AS maxf
+              FROM b
+            )
+            SELECT n_nationkey,
+                   round(list_sum(b1) / 16.0, 6) AS mean1,
+                   round(list_sum(list_transform(range(16),
+                     i -> CASE WHEN b1[i+1] + b2[i+1] = 0 THEN 0.0
+                          ELSE round((b2[i+1] - b1[i+1]) / (b2[i+1] + b1[i+1]), 2)
+                          END)), 6) AS nd_sum,
+                   b2[7] AS v2,
+                   length(list_filter(list_distinct(b1),
+                     v -> length(list_filter(b1, x -> x = v)) = maxf)) AS mode_n,
+                   round(list_sum(list_transform(range(16),
+                     i -> CAST(CAST(b1[i+1] AS INT) & CAST(b2[i+1] AS INT) AS DOUBLE))),
+                     6) AS and_sum
+            FROM m
         """,
         "union_area": """
             WITH z AS (

@@ -149,3 +149,245 @@ def raster_vector_join(
         rasters, vectors, predicate, left_geom=footprint_col, right_geom=vector_geom,
         grid=grid, **kw,
     )
+
+
+# -- RasterUDT analog: the raster STRUCT column ---------------------------------
+#
+# The reference models rasters as a RasterUDT wrapping a GeoTools
+# GridCoverage2D (sql/common/.../UDT/RasterUDT.scala; serde in
+# common/.../raster/Serde.java).  The Spark-native analog is a documented
+# STRUCT column — columnar, Tungsten-encoded, prunable, no opaque JVM object:
+#
+#   struct<bands:  array<array<double>>,   -- band-major, each row-major w*h
+#          width:  int,  height: int,
+#          ulx:    double, uly: double,    -- upper-left corner (world)
+#          scale_x double, scale_y double, -- scale_y < 0 for north-up
+#          skew_x  double, skew_y double,
+#          srid:   int>
+#
+# The affine transform is the GDAL/GeoTools 6-parameter model:
+#   world_x = ulx + col*scale_x + row*skew_x
+#   world_y = uly + col*skew_y + row*scale_y
+# (RasterAccessors.java:80-101 metadata layout mirrors these fields.)
+
+RASTER_SCHEMA = (
+    "struct<bands:array<array<double>>,width:int,height:int,"
+    "ulx:double,uly:double,scale_x:double,scale_y:double,"
+    "skew_x:double,skew_y:double,srid:int>"
+)
+
+_RASTER_FIELDS = [
+    "bands", "width", "height", "ulx", "uly",
+    "scale_x", "scale_y", "skew_x", "skew_y", "srid",
+]
+
+
+def _raster_struct(**fields) -> Column:
+    return F.struct(*[fields[k].alias(k) for k in _RASTER_FIELDS])
+
+
+def _with_field(r: Column, name: str, value: Column) -> Column:
+    return _raster_struct(
+        **{k: (value if k == name else r[k]) for k in _RASTER_FIELDS}
+    )
+
+
+def rs_make_empty_raster(
+    num_bands,
+    width,
+    height,
+    upper_left_x,
+    upper_left_y,
+    pixel_size=None,
+    scale_x=None,
+    scale_y=None,
+    skew_x=0.0,
+    skew_y=0.0,
+    srid=0,
+) -> Column:
+    """RS_MakeEmptyRaster (RasterConstructors.java:72-104): all-zero bands with
+    the given geo-reference.  Both ``pixel_size`` and the full-form ``scale_y``
+    are POSITIVE magnitudes negated internally (north-up), exactly like the
+    reference's AffineTransform2D(scaleX, ..., -actualScaleY, ...)."""
+    if pixel_size is not None:
+        scale_x, scale_y = pixel_size, pixel_size
+    scale_y = (
+        -scale_y if not isinstance(scale_y, Column) else -scale_y.cast("double")
+    )
+    c = lambda v, t: (v if isinstance(v, Column) else F.lit(v)).cast(t)
+    w, h = c(width, "int"), c(height, "int")
+    zeros = F.array_repeat(F.lit(0.0), (w * h).cast("int"))
+    return _raster_struct(
+        bands=F.array_repeat(zeros, c(num_bands, "int")),
+        width=w,
+        height=h,
+        ulx=c(upper_left_x, "double"),
+        uly=c(upper_left_y, "double"),
+        scale_x=c(scale_x, "double"),
+        scale_y=c(scale_y, "double"),
+        skew_x=c(skew_x, "double"),
+        skew_y=c(skew_y, "double"),
+        srid=c(srid, "int"),
+    )
+
+
+def rs_num_bands(r: Column) -> Column:
+    return F.size(r["bands"])
+
+
+def rs_srid(r: Column) -> Column:
+    return r["srid"]
+
+
+def rs_set_srid(r: Column, srid) -> Column:
+    s = (srid if isinstance(srid, Column) else F.lit(srid)).cast("int")
+    return _with_field(r, "srid", s)
+
+
+def rs_metadata(r: Column) -> Column:
+    """array<double> [upperLeftX, upperLeftY, width, height, scaleX, scaleY,
+    skewX, skewY, srid, numBands] — RasterAccessors.java:80-101 layout."""
+    return F.array(
+        r["ulx"],
+        r["uly"],
+        r["width"].cast("double"),
+        r["height"].cast("double"),
+        r["scale_x"],
+        r["scale_y"],
+        r["skew_x"],
+        r["skew_y"],
+        r["srid"].cast("double"),
+        F.size(r["bands"]).cast("double"),
+    )
+
+
+def rs_envelope_struct(r: Column) -> Column:
+    """Footprint polygon WKB of the affine image bounds (RS_Envelope,
+    RasterAccessors.java:56): the four pixel-grid corners through the affine,
+    then their bounding box (exact for skew-free rasters; equals GeoTools
+    Envelope2D for the affine case)."""
+    from incubator_sedona_spark.functions.st import st_polygon_from_envelope
+
+    w, h = r["width"].cast("double"), r["height"].cast("double")
+    xs = [
+        r["ulx"],
+        r["ulx"] + w * r["scale_x"],
+        r["ulx"] + h * r["skew_x"],
+        r["ulx"] + w * r["scale_x"] + h * r["skew_x"],
+    ]
+    ys = [
+        r["uly"],
+        r["uly"] + w * r["skew_y"],
+        r["uly"] + h * r["scale_y"],
+        r["uly"] + w * r["skew_y"] + h * r["scale_y"],
+    ]
+    return st_polygon_from_envelope(
+        F.least(*xs), F.least(*ys), F.greatest(*xs), F.greatest(*ys)
+    )
+
+
+def rs_band_as_array(r: Column, band: int = 1) -> Column:
+    """RS_BandAsArray (1-based band index)."""
+    return F.element_at(r["bands"], band)
+
+
+def rs_add_band_from_array(r: Column, band_arr: Column, band_index=None) -> Column:
+    """RS_AddBandFromArray: replace band ``band_index`` (1-based), or append
+    when band_index is None / numBands+1 (RasterConstructors semantics)."""
+    n = F.size(r["bands"])
+    if band_index is None:
+        new_bands = F.concat(r["bands"], F.array(band_arr))
+    else:
+        i = (band_index if isinstance(band_index, Column) else F.lit(band_index)).cast("int")
+        new_bands = F.when(i > n, F.concat(r["bands"], F.array(band_arr))).otherwise(
+            F.concat(
+                F.slice(r["bands"], 1, i - 1),
+                F.array(band_arr),
+                F.slice(r["bands"], i + 1, F.greatest(n - i, F.lit(0))),
+            )
+        )
+    return _with_field(r, "bands", new_bands)
+
+
+def _world_to_grid(r: Column, px: Column, py: Column) -> tuple[Column, Column]:
+    """Invert the 6-parameter affine: (col, row) floats, floor()ed by callers."""
+    det = r["scale_x"] * r["scale_y"] - r["skew_x"] * r["skew_y"]
+    dx, dy = px - r["ulx"], py - r["uly"]
+    col = (r["scale_y"] * dx - r["skew_x"] * dy) / det
+    row = (-r["skew_y"] * dx + r["scale_x"] * dy) / det
+    return col, row
+
+
+def rs_value_struct(r: Column, px, py, band: int = 1) -> Column:
+    """RS_Value over the raster struct (PixelFunctions.java:39-44): band value
+    at a world coordinate; NULL outside the grid (the reference returns null
+    for out-of-bounds / transform failures)."""
+    px = (px if isinstance(px, Column) else F.lit(px)).cast("double")
+    py = (py if isinstance(py, Column) else F.lit(py)).cast("double")
+    colf, rowf = _world_to_grid(r, px, py)
+    col, row = F.floor(colf).cast("int"), F.floor(rowf).cast("int")
+    inside = (col >= 0) & (col < r["width"]) & (row >= 0) & (row < r["height"])
+    idx = (row * r["width"] + col + 1).cast("int")
+    return F.when(inside, F.element_at(F.element_at(r["bands"], band), idx))
+
+
+def rs_values_struct(r: Column, xs: Column, ys: Column, band: int = 1) -> Column:
+    """RS_Values: array of band values for arrays of world coordinates
+    (PixelFunctions.java:44-48 maps value() over the point list)."""
+    return F.zip_with(xs, ys, lambda x, y: rs_value_struct(r, x, y, band))
+
+
+# -- flat-array long tail (RS_GetBand / RS_Array / RS_Mode / bitwise / logical) --
+
+
+def rs_get_band(band_info: Column, target_band, total_bands) -> Column:
+    """RS_GetBand (IO.scala:95-126): slice band ``target_band`` (1-based) out
+    of a flat band-major array holding ``total_bands`` equal-length bands."""
+    t = (target_band if isinstance(target_band, Column) else F.lit(target_band)).cast("int")
+    n = (total_bands if isinstance(total_bands, Column) else F.lit(total_bands)).cast("int")
+    size = (F.size(band_info) / n).cast("int")
+    return F.slice(band_info, (t - 1) * size + 1, size)
+
+
+def rs_array(length, value) -> Column:
+    """RS_Array: constant array<double> of the given length."""
+    ln = (length if isinstance(length, Column) else F.lit(length)).cast("int")
+    v = (value if isinstance(value, Column) else F.lit(value)).cast("double")
+    return F.array_repeat(v, ln)
+
+
+def rs_mode(a: Column) -> Column:
+    """RS_Mode (MapAlgebra.scala:104-121): ALL values attaining the maximum
+    frequency, as array<double>.  O(distinct * n) higher-order-function plan —
+    entirely JVM-side; fine for per-row band sizes (the reference's loop is
+    O(n) but per-row on the driver-side expression, same asymptotic regime)."""
+    distinct = F.array_distinct(a)
+    counts = F.transform(distinct, lambda v: F.size(F.filter(a, lambda x: x == v)))
+    maxc = F.array_max(counts)
+    return F.filter(distinct, lambda v: F.size(F.filter(a, lambda x: x == v)) == maxc)
+
+
+def rs_bitwise_and(a: Column, b: Column) -> Column:
+    """RS_BitwiseAnd (MapAlgebra.scala:590-621): int-truncated per-pixel AND."""
+    return F.zip_with(
+        a, b, lambda x, y: (x.cast("int").bitwiseAND(y.cast("int"))).cast("double")
+    )
+
+
+def rs_bitwise_or(a: Column, b: Column) -> Column:
+    """RS_BitwiseOr (MapAlgebra.scala:624-656)."""
+    return F.zip_with(
+        a, b, lambda x, y: (x.cast("int").bitwiseOR(y.cast("int"))).cast("double")
+    )
+
+
+def rs_logical_difference(a: Column, b: Column) -> Column:
+    """RS_LogicalDifference (MapAlgebra.scala:658-687): band1 value where the
+    bands differ, else 0."""
+    return F.zip_with(a, b, lambda x, y: F.when(x != y, x).otherwise(F.lit(0.0)))
+
+
+def rs_logical_over(a: Column, b: Column) -> Column:
+    """RS_LogicalOver (MapAlgebra.scala:699-728): band1 where nonzero, else
+    band2."""
+    return F.zip_with(a, b, lambda x, y: F.when(x != 0.0, x).otherwise(y))
