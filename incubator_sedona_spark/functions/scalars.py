@@ -723,3 +723,62 @@ def st_set_srid(wkb_col: Column, srid: int) -> Column:
         return pd.Series(out)
 
     return _f(wkb_col)
+
+
+# -- ST_Collect / ST_OrderingEquals -------------------------------------------------
+
+
+def collect_geometries(geoms: list) -> W.Geometry:
+    """JTS GeometryFactory.buildGeometry semantics (Functions.java:692-702
+    createMultiGeometry): all-same-type -> Multi<type>, mixed or empty ->
+    GeometryCollection, single element promoted via its Multi* counterpart
+    (Functions.java:645-659)."""
+    promote = {
+        W.POINT: W.MULTIPOINT,
+        W.LINESTRING: W.MULTILINESTRING,
+        W.POLYGON: W.MULTIPOLYGON,
+    }
+    if not geoms:
+        return W.multi(W.GEOMETRYCOLLECTION, [])
+    kinds = {g.kind for g in geoms}
+    if len(kinds) == 1:
+        k = kinds.pop()
+        if k in promote:
+            return W.multi(promote[k], geoms)
+        return W.multi(W.GEOMETRYCOLLECTION, geoms)
+    return W.multi(W.GEOMETRYCOLLECTION, geoms)
+
+
+def st_collect(wkb_array_col: Column) -> Column:
+    """ST_Collect over an array<binary> of geometries (the row form; the
+    aggregate form is functions.overlay.st_collect_aggr).  NULL elements are
+    dropped, like the reference expression."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for arr in s:
+            elems = [] if arr is None else list(arr)
+            geoms = [W.loads(b) for b in elems if b is not None]
+            out.append(W.dumps(collect_geometries(geoms)))
+        return pd.Series(out)
+
+    return _f(wkb_array_col)
+
+
+def st_ordering_equals(a: Column, b: Column) -> Column:
+    """ST_OrderingEquals: JTS equalsExact — same structure, same coordinates
+    in the SAME order (unlike ST_Equals, which is topological).  Both sides
+    are re-serialized through the canonical serde, so byte equality is
+    exactly coordinate-sequence equality."""
+
+    @F.pandas_udf("boolean")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                W.dumps(W.loads(x)) == W.dumps(W.loads(y))
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return _f(a, b)

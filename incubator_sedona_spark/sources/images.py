@@ -106,9 +106,19 @@ def decode_image(buf: bytes) -> np.ndarray:
                 import io
 
                 return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
-            raise NotImplementedError(
-                "TIFF decode requires tifffile or PIL, neither installed here"
-            ) from None
+            # native classic-TIFF parser (uncompressed strips; loud on
+            # compressed inputs) — sources/raster_codecs.decode_geotiff
+            from incubator_sedona_spark.sources.raster_codecs import decode_geotiff
+
+            d = decode_geotiff(bytes(buf))
+            h, w = d["height"], d["width"]
+            arr = np.stack(
+                [np.asarray(b, dtype=np.float64).reshape(h, w) for b in d["bands"]],
+                axis=2,
+            )
+            if arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            return np.clip(arr[:, :, :3], 0, 255).astype(np.uint8)
     if _HAS_PIL:
         import io
 

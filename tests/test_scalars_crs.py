@@ -382,3 +382,52 @@ def test_simplify_preserve_topology(spark):
         .w
     )
     assert len(g2.parts[0]) == 5
+
+
+def test_st_collect_row_form(spark):
+    rows = [
+        ([bytearray(W.dumps(W.point(1, 2))), bytearray(W.dumps(W.point(3, 4)))],),
+        ([bytearray(W.dumps(W.point(1, 2))), bytearray(W.dumps(_ls((0, 0), (1, 1))))],),
+        ([bytearray(W.dumps(W.point(9, 9)))],),
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "gs array<binary>")
+    got = [W.loads(r.c).kind for r in df.select(S.st_collect(F.col("gs")).alias("c")).collect()]
+    assert got == [W.MULTIPOINT, W.GEOMETRYCOLLECTION, W.MULTIPOINT, W.GEOMETRYCOLLECTION]
+
+
+def test_st_ordering_equals(spark):
+    ring1 = W.polygon([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+    ring2 = W.polygon([(1, 0), (1, 1), (0, 1), (0, 0), (1, 0)])  # rotated start
+    df = spark.createDataFrame(
+        [
+            (bytearray(W.dumps(ring1)), bytearray(W.dumps(ring1))),
+            (bytearray(W.dumps(ring1)), bytearray(W.dumps(ring2))),
+        ],
+        "a binary, b binary",
+    )
+    got = [r.e for r in df.select(S.st_ordering_equals(F.col("a"), F.col("b")).alias("e")).collect()]
+    # same sequence -> true; same polygon, different vertex order -> false
+    assert got == [True, False]
+
+
+def test_tiff_decode_image_native_fallback():
+    """decode_image falls back to the native classic-TIFF parser when
+    tifffile/PIL are absent (the state of this container)."""
+    import numpy as np
+
+    from incubator_sedona_spark.sources import raster_codecs as RC
+    from incubator_sedona_spark.sources.images import _HAS_PIL, decode_image
+
+    if _HAS_PIL:
+        pytest.skip("PIL present; fallback path not reachable")
+    pix = (np.arange(24, dtype=np.float64) * 10 % 256).reshape(2, 4, 3)
+    r = {
+        "bands": [pix[:, :, c].ravel().tolist() for c in range(3)],
+        "width": 4, "height": 2, "ulx": 0.0, "uly": 0.0,
+        "scale_x": 1.0, "scale_y": -1.0, "skew_x": 0.0, "skew_y": 0.0, "srid": 0,
+    }
+    buf = RC.encode_geotiff(r, dtype="uint8")
+    out = decode_image(buf)
+    assert out.shape == (2, 4, 3)
+    assert np.array_equal(out, pix.astype(np.uint8))
