@@ -597,6 +597,20 @@ def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters as connected components: exact PPJoin pairs ->
+    iterative min-label propagation -> (doc_id, component).  Oracle: the
+    identical pair set closed with a recursive CTE."""
+    from incubator_sedona_spark.pipeline.components import connected_components
+    from incubator_sedona_spark.pipeline.setjoin import exact_jaccard_self_join
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_self_join(d, threshold=0.8).select("id_a", "id_b")
+    return connected_components(
+        pairs, nodes=d.select("doc_id"), node_col="doc_id"
+    ).select("doc_id", "component")
+
+
 def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell row-count ledger over customer points (metrics surface)."""
     from incubator_sedona_spark.plans.metrics import cell_metrics
@@ -754,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_pairs": q_minhash_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -996,6 +1011,24 @@ def oracle_sql() -> dict[str, str]:
         # prefix-filter candidates, hence the same oracle.
         "minhash_pairs": _EXACT_JACCARD_ORACLE,
         "ppjoin_pairs": _EXACT_JACCARD_ORACLE,
+        # the same exact pair set, transitively closed with a recursive CTE;
+        # component = min reachable doc_id (the engine's label-propagation
+        # fixed point by construction)
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_EXACT_JACCARD_ORACLE}),
+            symedges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            walk(node, reach) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.node, se.v FROM walk w JOIN symedges se ON w.reach = se.u
+            )
+            SELECT node AS doc_id, min(reach) AS component
+            FROM walk GROUP BY node
+        """,
         "simhash_pairs": _simhash_oracle_sql(),
         "overlay_area": _overlay_oracle_sql(),
         # buffered 16x16 zone with d=3, 32-gon corners:

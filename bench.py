@@ -198,9 +198,16 @@ def run_scaling(n_low: int = 2, n_high: int = 8):
     ~0.65 efficiency at 8->32 busy cores (memory bandwidth / turbo), so the
     unsaturated 2->8 pair is the honest hardware window for judging the plan.
     """
+    repeats = int(os.environ.get("ISS_SCALING_REPEATS", "3"))
     results = {}
     for n in (n_low, n_high):
-        results[n] = scaling_measure(n)
+        # min-of-N, same protocol as the headline suite: this host throttles
+        # for minutes after sustained load (memory/sandbox-perf-quirks), so a
+        # single sample can misattribute host state to the plan — the same
+        # code measured E=0.93 and E=0.66 hours apart on single samples.
+        samples = [scaling_measure(n) for _ in range(repeats)]
+        results[n] = min(samples, key=lambda s: s["sec"])
+        results[n]["samples_sec"] = [s["sec"] for s in samples]
     ratio = n_high / n_low
     eff = results[n_high]["images_per_sec"] / (ratio * results[n_low]["images_per_sec"])
     out = {

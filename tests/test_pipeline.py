@@ -337,3 +337,79 @@ def test_ivf_topk_recall(spark, embs):
     # nprobe=8); assert a sound deterministic floor, not a hopeful one
     assert len(set(narrow) & set(exact)) >= 5
     assigned.unpersist()
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_golden(spark):
+    from incubator_sedona_spark.pipeline.components import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 20, 99]], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(e, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 99: 99}
+
+
+def test_connected_components_chain_and_maxiter(spark):
+    from incubator_sedona_spark.pipeline.components import connected_components
+
+    # a length-12 chain needs ~12 propagation rounds; max_iter must bound it
+    chain = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(e, node_col="id").collect()}
+    assert set(got.values()) == {0}
+    with pytest.raises(RuntimeError):
+        connected_components(e, node_col="id", max_iter=2).collect()
+
+
+def test_connected_components_vs_union_find_on_dup_pairs(spark, docs):
+    """Real pair graph: minhash exact-verify pairs at sf0.001, labels must
+    equal a driver union-find ground truth."""
+    from incubator_sedona_spark.pipeline.components import connected_components
+
+    pairs = D.minhash_lsh_dup_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    node_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = _uf_components(edge_list, set(node_ids))
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(
+            pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+        ).collect()
+    }
+    assert got == expected
+    assert len(set(got.values())) < len(node_ids)  # some real merges happened
+
+
+def test_dedup_representatives(spark, docs):
+    from incubator_sedona_spark.pipeline.components import dedup_representatives
+
+    pairs = D.minhash_lsh_dup_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    reps = dedup_representatives(docs, pairs)
+    out = reps.select("doc_id", "component").collect()
+    assert all(r.doc_id == r.component for r in out)
+    n_docs = docs.count()
+    n_pairs_nodes = len(
+        {v for r in pairs.collect() for v in (r.id_a, r.id_b)}
+    )
+    # representatives = all docs minus non-min members of clusters
+    assert reps.count() < n_docs
+    assert reps.count() >= n_docs - n_pairs_nodes
