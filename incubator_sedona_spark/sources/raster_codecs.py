@@ -462,3 +462,71 @@ def rs_html(base64_col: Column, image_width: str = "200") -> Column:
         base64_col,
         F.lit(f'" width="{image_width}" />'),
     )
+
+
+# -- GeoTiff DataFrame source / sink ------------------------------------------
+
+
+def read_geotiff_table(spark, path: str, drop_invalid: bool = False):
+    """GeoTiff DF source (the reference's spark.read.format("geotiff"),
+    sql/common/.../io/raster/GeotiffFileFormat.scala) as a composition of
+    Spark's built-in distributed binaryFile source + the native TIFF parser:
+
+        binaryFile scan (path/modificationTime/length/content, predicate
+        pushdown on path globs) -> rs_from_geotiff -> raster struct
+
+    Output: (path string, raster RASTER_SCHEMA).  ``drop_invalid`` mirrors
+    the reference reader option of the same name: unparseable files are
+    dropped instead of failing the scan (GeotiffFileFormat readOptions).
+    Each file decodes inside the executor that read it — bytes never move
+    twice; at warehouse scale the binaryFile source splits by file, so
+    parallelism = file count (the same unit the reference uses).
+    """
+    bin_df = spark.read.format("binaryFile").load(path)
+    if not drop_invalid:
+        return bin_df.select(
+            F.col("path"), rs_from_geotiff(F.col("content")).alias("raster")
+        )
+
+    @F.pandas_udf(RASTER_SCHEMA)
+    def _f_or_null(s: pd.Series) -> pd.DataFrame:
+        cols = [
+            "bands", "width", "height", "ulx", "uly",
+            "scale_x", "scale_y", "skew_x", "skew_y", "srid",
+        ]
+        rows = []
+        for b in s:
+            try:
+                rows.append(_raster_to_row(decode_geotiff(bytes(b))))
+            except Exception:
+                rows.append((None,) * len(cols))
+        return pd.DataFrame(rows, columns=cols)
+
+    out = bin_df.select(
+        F.col("path"), _f_or_null(F.col("content")).alias("raster")
+    )
+    return out.where(F.col("raster.width").isNotNull())
+
+
+def write_geotiff_table(df, out_dir: str, raster_col: str = "raster",
+                        name_col: str = "path", dtype: str = "float32") -> int:
+    """GeoTiff sink: one .tif file per row, written executor-side via
+    foreachPartition (the reference's dropbox-style per-record image sink).
+    Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    tif = df.select(
+        F.col(name_col).alias("__name"), rs_as_geotiff(F.col(raster_col), dtype=dtype).alias("__tif")
+    )
+
+    def _write(rows):
+        for r in rows:
+            base = os.path.basename(str(r["__name"])) or "raster"
+            if not base.endswith(".tif"):
+                base = base.rsplit(".", 1)[0] + ".tif" if "." in base else base + ".tif"
+            with open(os.path.join(out_dir, base), "wb") as f:
+                f.write(bytes(r["__tif"]))
+
+    tif.foreachPartition(_write)
+    return len([n for n in os.listdir(out_dir) if n.endswith(".tif")])

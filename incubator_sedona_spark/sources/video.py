@@ -1,0 +1,124 @@
+"""Video modality: frame-sampling plumbing with a deterministic container.
+
+Real video codecs (H.264/VP9 via PyAV or OpenCV) are NOT installed in this
+environment; per the brief, the decode step for real containers is a
+clearly-marked NotImplementedError while the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch shape — is real and tested.
+
+To make the plumbing testable end-to-end without external deps, the module
+defines RAWV, a deterministic toy container (magic + width/height/fps/
+frame count + zlib-compressed RGB frames).  ``decode_video`` dispatches on
+the signature: RAWV decodes natively; anything else tries PyAV/OpenCV when
+importable and raises loudly otherwise.  Swapping in a real codec changes
+ONE function — every Spark operator downstream is already real.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - not installed here
+    import av as _av
+except Exception:
+    _av = None
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: np.ndarray, fps: float) -> bytes:
+    """(n, h, w, 3) uint8 -> RAWV bytes (per-frame zlib, seekable index)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = f.shape
+    assert c == 3
+    blobs = [zlib.compress(f[i].tobytes(), 1) for i in range(n)]
+    head = _RAWV_MAGIC + struct.pack("<HHfI", w, h, fps, n)
+    index = struct.pack("<" + "I" * n, *[len(b) for b in blobs])
+    return head + index + b"".join(blobs)
+
+
+def probe_rawv(buf: bytes) -> dict:
+    if bytes(buf[:4]) != _RAWV_MAGIC:
+        raise ValueError("not a RAWV stream")
+    w, h, fps, n = struct.unpack_from("<HHfI", buf, 4)
+    return {"width": w, "height": h, "fps": float(fps), "n_frames": n}
+
+
+def decode_video(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
+    """(k, h, w, 3) uint8 frames.  RAWV decodes natively (random access via
+    the frame index — only requested frames are decompressed); real
+    containers need PyAV/OpenCV (loud gate)."""
+    buf = bytes(buf)
+    if buf[:4] == _RAWV_MAGIC:
+        w, h, fps, n = struct.unpack_from("<HHfI", buf, 4)
+        sizes = struct.unpack_from("<" + "I" * n, buf, 16)
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int) + 16 + 4 * n
+        want = list(range(n)) if frame_indices is None else frame_indices
+        out = np.empty((len(want), h, w, 3), dtype=np.uint8)
+        for k, i in enumerate(want):
+            raw = zlib.decompress(buf[offs[i] : offs[i + 1]])
+            out[k] = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return out
+    if _av is not None:  # pragma: no cover
+        raise NotImplementedError("PyAV path not wired yet (codec present)")
+    raise NotImplementedError(
+        "real video containers need PyAV/OpenCV, neither installed here; "
+        "RAWV streams decode natively"
+    )
+
+
+def gen_video(video_id: int, n_frames: int = 12, w: int = 32, h: int = 24,
+              fps: float = 6.0) -> bytes:
+    """Deterministic synthetic clip: a seeded gradient that pans per frame."""
+    rng = np.random.default_rng(video_id * 7_919 + 3)
+    base = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    frames = np.stack(
+        [np.roll(base, shift=i * 2, axis=1) for i in range(n_frames)]
+    )
+    return encode_rawv(frames, fps)
+
+
+def frame_sample_df(
+    df: DataFrame,
+    every_k: int = 4,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Every-k-th-frame sampler: one row per sampled frame with timestamp,
+    per-channel means and the frame re-encoded as PNG bytes (ready for the
+    image pipeline).  One mapInPandas pass; only sampled frames are ever
+    decompressed (RAWV random access), so the cost is O(sampled), not
+    O(total) — the property a real keyframe-seeking decoder would give."""
+    from incubator_sedona_spark.sources.images import encode_png
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ts, r, g, b, png = [], [], [], [], [], [], []
+            for vid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                meta = probe_rawv(bytes(buf))
+                want = list(range(0, meta["n_frames"], every_k))
+                frames = decode_video(buf, want)
+                for k, i in enumerate(want):
+                    ids.append(vid)
+                    fidx.append(i)
+                    ts.append(i / meta["fps"])
+                    m = frames[k].reshape(-1, 3).mean(axis=0)
+                    r.append(float(m[0])), g.append(float(m[1])), b.append(float(m[2]))
+                    png.append(encode_png(frames[k]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "t_s": ts,
+                 "mean_r": r, "mean_g": g, "mean_b": b, "png": png}
+            )
+
+    return df.mapInPandas(
+        _run,
+        schema=(
+            f"{id_col} long, frame_idx int, t_s double, "
+            "mean_r double, mean_g double, mean_b double, png binary"
+        ),
+    )

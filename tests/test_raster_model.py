@@ -303,3 +303,48 @@ def test_base64_alpha_composites_over_white(spark):
     ).first()
     pix = decode_png(b64mod.b64decode(out.b64))
     assert pix[0, 0, 0] == 100 and pix[0, 1, 0] == 255
+
+
+def test_geotiff_df_source_roundtrip(spark, tmp_path):
+    """binaryFile -> rs_from_geotiff source and the per-row .tif sink."""
+    import os
+
+    src = tmp_path / "tifs"
+    os.makedirs(src)
+    rs = []
+    for k in range(3):
+        r = _sample_raster()
+        r["bands"] = [[v + k for v in r["bands"][0]]]
+        r["ulx"] = 10.0 * k
+        rs.append(r)
+        with open(src / f"r{k}.tif", "wb") as f:
+            f.write(RC.encode_geotiff(r))
+    df = RC.read_geotiff_table(spark, str(src) + "/*.tif")
+    got = {os.path.basename(r.path): r.raster for r in df.collect()}
+    assert len(got) == 3
+    for k in range(3):
+        rast = got[f"r{k}.tif"]
+        assert rast.ulx == 10.0 * k and rast.width == 4
+        assert list(rast.bands[0]) == rs[k]["bands"][0]
+
+    out = tmp_path / "out"
+    n = RC.write_geotiff_table(df, str(out))
+    assert n == 3
+    back = RC.decode_geotiff(open(out / "r1.tif", "rb").read())
+    assert back["bands"][0] == rs[1]["bands"][0]
+
+
+def test_geotiff_df_source_drop_invalid(spark, tmp_path):
+    import os
+
+    src = tmp_path / "mix"
+    os.makedirs(src)
+    with open(src / "good.tif", "wb") as f:
+        f.write(RC.encode_geotiff(_sample_raster()))
+    with open(src / "bad.tif", "wb") as f:
+        f.write(b"II*\x00garbage-not-a-real-ifd")
+    ok = RC.read_geotiff_table(spark, str(src) + "/*.tif", drop_invalid=True)
+    assert ok.count() == 1
+    strict = RC.read_geotiff_table(spark, str(src) + "/*.tif")
+    with pytest.raises(Exception):
+        strict.collect()
