@@ -141,10 +141,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(buf: bytes) -> np.ndarray:
+def decode_png(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
     """Real PNG decode (RFC 2083): zlib inflate + per-scanline unfilter.
     Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), no
-    interlace; returns (h, w, 3) uint8 (alpha dropped, gray replicated)."""
+    interlace; returns (h, w, 3) uint8 (alpha dropped, gray replicated) —
+    or (h, w, 4) for RGBA input when ``keep_alpha`` is set."""
     if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     off, w = 8, None
@@ -203,24 +204,28 @@ def decode_png(buf: bytes) -> np.ndarray:
     pix = out.reshape(h, w, ch)
     if ch == 1:
         return np.repeat(pix, 3, axis=2)
+    if keep_alpha and ch == 4:
+        return pix
     return np.ascontiguousarray(pix[:, :, :3])
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """Real PNG encode: 8-bit RGB, filter 0 scanlines (spec-valid, readable
-    by any PNG decoder; tests verify against the JVM's javax.imageio)."""
+    """Real PNG encode: 8-bit RGB (color type 2) or RGBA (color type 6),
+    filter 0 scanlines (spec-valid, readable by any PNG decoder; tests verify
+    against the JVM's javax.imageio)."""
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w, c = pixels.shape
-    if c != 3:
-        raise ValueError("encode_png expects (h, w, 3) RGB")
+    if c not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3) RGB or (h, w, 4) RGBA")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
-    scan[:, 1:] = pixels.reshape(h, w * 3)
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    scan[:, 1:] = pixels.reshape(h, w * c)
     idat = zlib.compress(scan.tobytes(), 6)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
