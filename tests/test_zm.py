@@ -157,3 +157,55 @@ def test_predicates_ignore_z(spark):
     assert K.predicate_pair("contains", poly, pt_in)
     pt_out = _pt_xyz(9.0, 9.0, 0.0)
     assert not K.predicate_pair("contains", poly, pt_out)
+
+
+# -- general 3D distance (round 3: beyond point-only) -------------------------
+
+
+def _ls3(*pts):
+    return W.Geometry(W.LINESTRING, np.array(pts, dtype=float), True, False)
+
+
+def test_geom_3d_distance_kernel_goldens():
+    sq = W.polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)])
+    cases = [
+        (zm.point_z(0, 0, 0), zm.point_z(1, 2, 2), 3.0),
+        (zm.point_z(0, 0, 5), _ls3((0, 0, 0), (10, 0, 0)), 5.0),          # pt-seg
+        (_ls3((0, 0, 0), (1, 0, 0)), _ls3((0, 1, 1), (1, 1, 1)), 2**0.5),  # skew
+        (zm.point_z(5, 5, 7), sq, 7.0),     # above interior -> perpendicular
+        (zm.point_z(13, 5, 4), sq, 5.0),    # beyond edge -> 3-4-5
+        (_ls3((5, 5, -1), (5, 5, 1)), sq, 0.0),   # pierces the facet
+        (_ls3((20, 5, -1), (20, 5, 1)), sq, 10.0),  # pierces plane outside
+    ]
+    for ga, gb, want in cases:
+        assert zm.geom_3d_distance(ga, gb) == pytest.approx(want, abs=1e-12)
+        assert zm.geom_3d_distance(gb, ga) == pytest.approx(want, abs=1e-12)
+    # hole: point over the hole measures to the hole edge, not the plane
+    holed = W.Geometry(
+        W.POLYGON,
+        [
+            np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float),
+            np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], dtype=float),
+        ],
+    )
+    assert zm.geom_3d_distance(zm.point_z(5, 5, 3), holed) == pytest.approx(10**0.5)
+    # parallel coaxial squares -> plane gap
+    sq2 = zm.force_3d_geometry(W.polygon([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)]), 4.0)
+    assert zm.geom_3d_distance(sq, sq2) == pytest.approx(4.0)
+
+
+def test_st_3ddistance_column_general(spark):
+    rows = [
+        (
+            bytearray(W.dumps(zm.point_z(5.0, 5.0, 7.0))),
+            bytearray(W.dumps(W.polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]))),
+        ),
+        (
+            bytearray(W.dumps(_ls3((0, 0, 0), (1, 0, 0)))),
+            bytearray(W.dumps(_ls3((0, 1, 1), (1, 1, 1)))),
+        ),
+    ]
+    df = spark.createDataFrame(rows, "a binary, b binary")
+    got = [r.d for r in df.select(zm.st_3ddistance(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert got[0] == pytest.approx(7.0)
+    assert got[1] == pytest.approx(2**0.5)
