@@ -15,6 +15,10 @@ Krueger-series Transverse Mercator, accurate to sub-millimeter within a zone):
 - ``epsg:3347``      — NAD83 / Statistics Canada Lambert
 - ``epsg:5070``      — NAD83 / CONUS Albers equal-area
 - ``epsg:3310``      — NAD83 / California Albers
+- ``epsg:3031/3413/3995`` — polar stereographic variant B (Antarctic / NSIDC
+  Arctic / Arctic; k=1 on the standard parallel, validated numerically)
+- ``epsg:5041/5042`` — UPS north/south (variant A, k0=0.994; matches the
+  EPSG Guidance Note 7-2 worked example to 1 cm)
 
 LCC 2SP and Albers follow Snyder (1987) eqs 15-1..15-11 / 14-1..14-21 on the
 per-CRS ellipsoid (GRS80 for the NAD83/RGF93 codes).  NAD83/RGF93 lon/lat is
@@ -209,6 +213,76 @@ _CONIC = {
 }
 
 
+class PolarCRS:
+    """Polar stereographic (Snyder 1987 p.160-162, ellipsoidal).
+
+    Variant B (EPSG 9829): parameterized by the standard parallel lat_ts.
+    Variant A (EPSG 9810, the UPS pair): parameterized by k0 at the pole.
+    The south aspect is the north formulas on -lat with the y term mirrored.
+    """
+
+    __slots__ = ("south", "lon0", "fe", "fn", "a", "e", "rho_scale")
+
+    def __init__(self, lat_ts=None, k0=None, lon0=0.0, fe=0.0, fn=0.0,
+                 south=False, a=_A, e=_E):
+        self.south, self.lon0, self.fe, self.fn, self.a, self.e = (
+            south, lon0, fe, fn, a, e)
+        if lat_ts is not None:  # variant B: rho = a * mc/tc * t
+            pc = np.radians(abs(lat_ts))
+            mc = np.cos(pc) / np.sqrt(1 - (e * np.sin(pc)) ** 2)
+            es = e * np.sin(pc)
+            tc = np.tan(np.pi / 4 - pc / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+            self.rho_scale = a * mc / tc
+        else:  # variant A: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+            self.rho_scale = (
+                2.0 * a * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            )
+
+    def _t(self, phi):
+        es = self.e * np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.asarray(lon_deg, np.float64)
+        lat = np.asarray(lat_deg, np.float64)
+        phi = np.radians(-lat if self.south else lat)
+        lam = np.radians((-lon if self.south else lon) - (-self.lon0 if self.south else self.lon0))
+        rho = self.rho_scale * self._t(phi)
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        if self.south:
+            dx, dy = -dx, -dy
+        rho = np.sqrt(dx * dx + dy * dy)
+        lam = np.arctan2(dx, -dy)
+        t = rho / self.rho_scale
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (self.e / 2))
+        lon = np.degrees(lam) + (-self.lon0 if self.south else self.lon0)
+        lat = np.degrees(phi)
+        if self.south:
+            lon, lat = -lon, -lat
+        lon = (lon + 180.0) % 360.0 - 180.0  # wrap into (-180, 180]
+        return lon, lat
+
+
+_POLAR = {
+    3031: PolarCRS(lat_ts=-71.0, lon0=0.0, south=True),    # WGS84 Antarctic PS
+    3413: PolarCRS(lat_ts=70.0, lon0=-45.0),               # NSIDC Arctic PS
+    3995: PolarCRS(lat_ts=71.0, lon0=0.0),                 # Arctic PS
+    5041: PolarCRS(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0),        # UPS N
+    5042: PolarCRS(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=True),  # UPS S
+}
+
+
 def _parse(crs: str):
     c = crs.lower().replace(" ", "")
     if not c.startswith("epsg:"):
@@ -224,9 +298,11 @@ def _parse(crs: str):
         return ("utm", code - 32700, _FN_SOUTH)
     if code in _CONIC:
         return ("conic", code)
+    if code in _POLAR:
+        return ("polar", code)
     raise ValueError(
         f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN, "
-        f"conic {sorted(_CONIC)})"
+        f"conic {sorted(_CONIC)}, polar {sorted(_POLAR)})"
     )
 
 
@@ -239,6 +315,8 @@ def transform_xy(x, y, src: str, dst: str):
         lon, lat = merc_inverse(x, y)
     elif s[0] == "conic":
         lon, lat = _CONIC[s[1]].inverse(x, y)
+    elif s[0] == "polar":
+        lon, lat = _POLAR[s[1]].inverse(x, y)
     else:
         lon, lat = tm_inverse(x, y, utm_zone_lon0(s[1]), _K0_UTM, _FE_UTM, s[2])
     if d[0] == "geo":
@@ -247,6 +325,8 @@ def transform_xy(x, y, src: str, dst: str):
         return merc_forward(lon, lat)
     if d[0] == "conic":
         return _CONIC[d[1]].forward(lon, lat)
+    if d[0] == "polar":
+        return _POLAR[d[1]].forward(lon, lat)
     return tm_forward(lon, lat, utm_zone_lon0(d[1]), _K0_UTM, _FE_UTM, d[2])
 
 

@@ -431,3 +431,50 @@ def test_tiff_decode_image_native_fallback():
     out = decode_image(buf)
     assert out.shape == (2, 4, 3)
     assert np.array_equal(out, pix.astype(np.uint8))
+
+
+# -- polar stereographic CRSs (round 3) ----------------------------------------
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Polar Stereographic variant A worked example:
+    UPS North (epsg:5041), 73N 44E -> E 3320416.75, N 632668.43 (to 1 cm)."""
+    from incubator_sedona_spark.functions.crs import transform_xy
+
+    x, y = transform_xy([44.0], [73.0], "epsg:4326", "epsg:5041")
+    assert x[0] == pytest.approx(3320416.75, abs=0.02)
+    assert y[0] == pytest.approx(632668.43, abs=0.02)
+
+
+def test_polar_stereographic_invariants():
+    from incubator_sedona_spark.functions.crs import transform_xy
+
+    # pole -> (FE, FN)
+    x, y = transform_xy([0.0], [-90.0], "epsg:4326", "epsg:3031")
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # roundtrips (both aspects, both variants, incl. date-line crossing lon)
+    for code, lats, lons in [
+        (3031, [-75, -80, -71], [-50, 120, 0]),
+        (3413, [70, 80, 85], [-45, 10, 170]),
+        (3995, [71, 89], [0, -120]),
+        (5041, [84, 75], [30, -150]),
+        (5042, [-84, -75], [30, -150]),
+    ]:
+        xs, ys = transform_xy(lons, lats, "epsg:4326", f"epsg:{code}")
+        lo, la = transform_xy(xs, ys, f"epsg:{code}", "epsg:4326")
+        assert np.allclose(lo, lons, atol=1e-9) and np.allclose(la, lats, atol=1e-9)
+
+    # k == 1 exactly on the standard parallel (variant B defining property)
+    def scale_at(code, lat, lon=33.0):
+        eps = 1e-6
+        x0, y0 = transform_xy([lon], [lat], "epsg:4326", f"epsg:{code}")
+        x1, y1 = transform_xy([lon + eps], [lat], "epsg:4326", f"epsg:{code}")
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+        ground = float(np.radians(eps) * nu * np.cos(np.radians(lat)))
+        return float(np.hypot(x1 - x0, y1 - y0)[0]) / ground
+
+    for code, ts in [(3031, -71.0), (3413, 70.0), (3995, 71.0)]:
+        assert scale_at(code, ts) == pytest.approx(1.0, abs=1e-6)
+    # UPS: k0 = 0.994 at the pole, rising toward 1 at ~81.1 deg
+    assert 0.994 < scale_at(5041, 87.0) < 1.0
