@@ -105,3 +105,36 @@ def test_save_as_geojson_roundtrip(spark, tmp_path):
     assert got == {(0, "alpha"), (1, "beta")}
     geoms = sorted((W.loads(bytes(r.wkb)).kind for r in back.collect()))
     assert geoms == [W.POINT, W.POLYGON]
+
+
+# -- Iceberg-style image table layer (round 3) --------------------------------
+
+
+def test_image_table_fallback_roundtrip(spark, tmp_path):
+    from incubator_sedona_spark.sources import iceberg as IB
+    from incubator_sedona_spark.sources.datagen import gen_images_pdf_for_ids
+    import numpy as np
+
+    pdf = gen_images_pdf_for_ids(np.arange(20))
+    df = spark.createDataFrame(pdf)
+    loc = str(tmp_path / "imgs.parquet")
+    IB.write_image_table(df, loc, mode="overwrite")
+    back = IB.read_image_table(spark, loc)
+    assert back.count() == 20
+    assert {f.name for f in back.schema.fields} >= {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    }
+
+
+def test_image_table_schema_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from incubator_sedona_spark.sources import iceberg as IB
+
+    bad = spark.range(3).selectExpr("cast(id as string) as image_id")
+    with _pytest.raises(ValueError, match="input_hint"):
+        IB.validate_image_schema(bad)
+    # time travel without the runtime JAR is a loud gate, not silent parquet
+    if not IB.iceberg_available(spark):
+        with _pytest.raises(NotImplementedError):
+            IB.read_image_table(spark, str(tmp_path / "x.parquet"), snapshot_id=1)
