@@ -597,6 +597,80 @@ def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_3DDistance under the gate: supplier XYZ point (z derived from the
+    key) vs the same-key customer XY point (z=0); oracle is the closed-form
+    Euclidean in SQL."""
+    from incubator_sedona_spark.functions.zm import st_3ddistance, st_point_z
+
+    supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
+    sp = supp.select(
+        "s_suppkey",
+        st_point_z(
+            F.col("x"), F.col("y"), (F.col("s_suppkey") % 37).cast("double")
+        ).alias("p3"),
+        st_point(_lon(F.col("s_suppkey") + 5), _lat(F.col("s_suppkey") + 5)).alias("p2"),
+    )
+    return sp.select(
+        "s_suppkey", F.round(st_3ddistance(F.col("p3"), F.col("p2")), 9).alias("d3")
+    )
+
+
+def q_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-accessor sweep under the gate: dimension / npoints / ring
+    closure / bounds of each zone polygon, all recomputed in plain SQL."""
+    from incubator_sedona_spark.functions.scalars import (
+        st_dimension,
+        st_is_closed,
+        st_is_ring,
+        st_nrings,
+        st_xmin,
+        st_ymax,
+    )
+    from incubator_sedona_spark.functions.st import st_npoints
+
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    return zones.select(
+        "n_nationkey",
+        st_dimension(F.col("wkb")).cast("long").alias("dim"),
+        st_npoints(F.col("wkb")).cast("long").alias("np"),
+        st_is_closed(F.col("wkb")).alias("closed"),
+        st_is_ring(F.col("wkb")).alias("ring"),
+        st_nrings(F.col("wkb")).cast("long").alias("nrings"),
+        F.round(st_xmin(F.col("wkb")), 6).alias("x0"),
+        F.round(st_ymax(F.col("wkb")), 6).alias("y1"),
+    )
+
+
+def q_build_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BuildArea under the gate: two concentric square rings per nation
+    (outer = zone, inner inset by 4) as a MultiLineString -> donut polygon;
+    oracle computes area = side^2 - inner^2 exactly."""
+    from incubator_sedona_spark.functions.scalars import st_build_area
+    from incubator_sedona_spark.functions.st import st_area, st_geom_from_wkt
+
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    wkt = F.concat(
+        F.lit("MULTILINESTRING (("),
+        F.col("zxmin").cast("int").cast("string"), F.lit(" "), F.col("zymin").cast("int").cast("string"), F.lit(", "),
+        F.col("zxmax").cast("int").cast("string"), F.lit(" "), F.col("zymin").cast("int").cast("string"), F.lit(", "),
+        F.col("zxmax").cast("int").cast("string"), F.lit(" "), F.col("zymax").cast("int").cast("string"), F.lit(", "),
+        F.col("zxmin").cast("int").cast("string"), F.lit(" "), F.col("zymax").cast("int").cast("string"), F.lit(", "),
+        F.col("zxmin").cast("int").cast("string"), F.lit(" "), F.col("zymin").cast("int").cast("string"), F.lit("), ("),
+        (F.col("zxmin") + 4).cast("int").cast("string"), F.lit(" "), (F.col("zymin") + 4).cast("int").cast("string"), F.lit(", "),
+        (F.col("zxmax") - 4).cast("int").cast("string"), F.lit(" "), (F.col("zymin") + 4).cast("int").cast("string"), F.lit(", "),
+        (F.col("zxmax") - 4).cast("int").cast("string"), F.lit(" "), (F.col("zymax") - 4).cast("int").cast("string"), F.lit(", "),
+        (F.col("zxmin") + 4).cast("int").cast("string"), F.lit(" "), (F.col("zymax") - 4).cast("int").cast("string"), F.lit(", "),
+        (F.col("zxmin") + 4).cast("int").cast("string"), F.lit(" "), (F.col("zymin") + 4).cast("int").cast("string"), F.lit("))"),
+    )
+    built = zones.select(
+        "n_nationkey", st_build_area(st_geom_from_wkt(wkt)).alias("poly")
+    )
+    return built.select(
+        "n_nationkey", F.round(st_area(F.col("poly")), 6).alias("donut_area")
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters as connected components: exact PPJoin pairs ->
     iterative min-label propagation -> (doc_id, component).  Oracle: the
@@ -755,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "angle_points": q_angle_points,
         "bounding_diag": q_bounding_diag,
         "raster_stats": q_raster_stats,
+        "dist3d": q_dist3d,
+        "accessors": q_accessors,
+        "build_area": q_build_area,
         "envelope_aggr": q_envelope_aggr,
         "knn_join": q_knn_join,
         "tpch_q1": q_tpch_q1,
@@ -1054,6 +1131,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # JTS Angle convention: a = norm(azimuth(p2->p1)) - norm(azimuth(p2->p3)),
         # each azimuth = atan2(dy, dx), all three normalized into [0, 2pi)
+        "dist3d": f"""
+            SELECT s_suppkey,
+                   round(sqrt(
+                     pow(({_lon_sql('s_suppkey')}) - ({_lon_sql('s_suppkey + 5')}), 2)
+                   + pow(({_lat_sql('s_suppkey')}) - ({_lat_sql('s_suppkey + 5')}), 2)
+                   + pow(s_suppkey % 37, 2)), 9) AS d3
+            FROM supplier
+        """,
+        # zone polygons are closed 5-point single-ring squares; ST_IsRing is
+        # LineString-only (JTS), hence false for polygons
+        "accessors": f"""
+            SELECT n_nationkey,
+                   CAST(2 AS BIGINT) AS dim, CAST(5 AS BIGINT) AS np,
+                   TRUE AS closed, FALSE AS ring, CAST(1 AS BIGINT) AS nrings,
+                   round(zxmin, 6) AS x0, round(zymax, 6) AS y1
+            FROM ({_SQL_ZONES.format(off=2.0, side=16.0)})
+        """,
+        # donut area from the two integer-aligned concentric squares
+        "build_area": f"""
+            SELECT n_nationkey,
+                   round((zxmax - zxmin) * (zymax - zymin)
+                         - (zxmax - zxmin - 8) * (zymax - zymin - 8), 6)
+                     AS donut_area
+            FROM ({_SQL_ZONES.format(off=2.0, side=16.0)})
+        """,
         "angle_points": f"""
             WITH p AS (
               SELECT s_suppkey,

@@ -132,6 +132,32 @@ def _parse_wkt(text: str) -> W.Geometry:
     if head in ("MULTIPOINT",):
         inner = strip1(body).replace("(", "").replace(")", "")
         return W.multi(W.MULTIPOINT, [W.point(*xy) for xy in coords(inner)])
+    if head == "MULTILINESTRING":
+        inner = strip1(body)
+        lines, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+                cur = ""
+            elif ch == ")":
+                depth -= 1
+                lines.append(W.linestring(coords(cur)))
+            elif depth:
+                cur += ch
+        return W.multi(W.MULTILINESTRING, lines)
+    if head == "GEOMETRYCOLLECTION":
+        inner = strip1(body)
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            cur += ch
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    parts.append(_parse_wkt(cur.strip().lstrip(",").strip()))
+                    cur = ""
+        return W.multi(W.GEOMETRYCOLLECTION, parts)
     if head == "MULTIPOLYGON":
         inner = strip1(body)
         polys, depth, cur = [], 0, ""

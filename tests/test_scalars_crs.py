@@ -478,3 +478,15 @@ def test_polar_stereographic_invariants():
         assert scale_at(code, ts) == pytest.approx(1.0, abs=1e-6)
     # UPS: k0 = 0.994 at the pole, rising toward 1 at ~81.1 deg
     assert 0.994 < scale_at(5041, 87.0) < 1.0
+
+
+def test_wkt_parse_multilinestring_and_collection():
+    from incubator_sedona_spark.functions.st import _parse_wkt, _to_wkt
+
+    s = "MULTILINESTRING ((2 2, 18 2, 18 18, 2 18, 2 2), (6 6, 14 6, 14 14, 6 14, 6 6))"
+    g = _parse_wkt(s)
+    assert g.kind == W.MULTILINESTRING and len(g.parts) == 2
+    assert _to_wkt(g) == s
+    gc = _parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    assert gc.kind == W.GEOMETRYCOLLECTION and len(gc.parts) == 2
+    assert _to_wkt(gc) == "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
