@@ -139,3 +139,54 @@ def test_streaming_dedup_ttl_eviction(spark, tmp_path):
     assert 0 in ids and 1 not in ids  # in-window duplicate dropped
     assert 4 in ids
     assert 9 in ids  # post-eviction re-emit proves the state row was removed
+
+
+def test_streaming_spatial_join_parity(spark, tmp_path):
+    """The core spatial_join runs UNCHANGED as a stream-static inner join
+    (static polygons x streaming points) and matches the batch result —
+    beyond the reference, whose streaming tests cover constructors only."""
+    from pyspark.sql import functions as F
+
+    from incubator_sedona_spark.functions.st import st_polygon_from_envelope
+    from incubator_sedona_spark.operators.joins import spatial_join
+
+    src = str(tmp_path / "pts_src")
+    rng = np.random.default_rng(21)
+    pdf = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (300, 2)))]
+    batch_pts = spark.createDataFrame(pdf, "pid long, x double, y double")
+    batch_pts.write.parquet(src)
+
+    zones = spark.createDataFrame(
+        [(z, (z % 3) * 30.0, (z // 3) * 30.0) for z in range(9)],
+        "zone_id long, x0 double, y0 double",
+    ).select(
+        "zone_id",
+        st_polygon_from_envelope(
+            F.col("x0"), F.col("y0"), F.col("x0") + 25.0, F.col("y0") + 25.0
+        ).alias("wkb"),
+    )
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 4)
+
+    expected = {
+        (r.zone_id, r.pid)
+        for r in spatial_join(
+            zones, batch_pts, "contains", grid=grid, right_point_cols=("x", "y")
+        ).collect()
+    }
+    assert len(expected) > 50
+
+    stream_pts = spark.readStream.schema("pid long, x double, y double").parquet(src)
+    joined = spatial_join(
+        zones, stream_pts, "contains", grid=grid, right_point_cols=("x", "y")
+    )
+    q = (
+        joined.select("zone_id", "pid")
+        .writeStream.format("memory")
+        .queryName("stream_pip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.zone_id, r.pid) for r in spark.sql("SELECT * FROM stream_pip").collect()}
+    assert got == expected
