@@ -52,7 +52,9 @@ def connected_components(
     """
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+    ).persist()
+    e.count()  # materialize ONCE: the union below reads e twice, and edge
+    # generation (e.g. a PPJoin) is usually the most expensive input here
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
 
     if nodes is not None:
@@ -92,6 +94,7 @@ def connected_components(
         )
 
     sym.unpersist()
+    e.unpersist()
     return labels.select(F.col("u").alias(node_col), F.col("label").alias(out_col))
 
 
