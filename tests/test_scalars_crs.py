@@ -490,3 +490,35 @@ def test_wkt_parse_multilinestring_and_collection():
     gc = _parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
     assert gc.kind == W.GEOMETRYCOLLECTION and len(gc.parts) == 2
     assert _to_wkt(gc) == "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+
+
+def test_make_valid_bowtie_and_donut(spark):
+    """JTS GeometryFixer parity: a bowtie repairs into the MultiPolygon of
+    its lobes (exact area), valid polygons pass through untouched."""
+    from incubator_sedona_spark.functions.st import st_area, st_make_valid
+    from incubator_sedona_spark.functions.st import st_is_valid
+
+    bow = W.polygon([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
+    donut = W.Geometry(
+        W.POLYGON,
+        [
+            np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float),
+            np.array([(3, 3), (6, 3), (6, 6), (3, 6), (3, 3)], dtype=float),
+        ],
+    )
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(bow)),), (bytearray(W.dumps(donut)),)], "wkb binary"
+    )
+    out = df.select(
+        st_make_valid(F.col("wkb")).alias("fixed")
+    ).select(
+        F.col("fixed"),
+        st_area(F.col("fixed")).alias("a"),
+        st_is_valid(F.col("fixed")).alias("ok"),
+    ).collect()
+    g0 = W.loads(out[0].fixed)
+    assert g0.kind == W.MULTIPOLYGON and len(g0.parts) == 2
+    assert out[0].a == pytest.approx(2.0) and out[0].ok
+    g1 = W.loads(out[1].fixed)
+    assert g1.kind == W.POLYGON and len(g1.parts) == 2
+    assert out[1].a == pytest.approx(91.0) and out[1].ok
