@@ -155,11 +155,15 @@ def test_length_and_area_spheroid(spark):
     # two equatorial-ish arcs (~111.32 km) + two meridian arcs (~110.57 km)
     assert L == pytest.approx(2 * 111319.49 + 2 * 110574.39, rel=2e-4)
     A = df.select(S.st_area_spheroid(F.col("wkb")).alias("v")).collect()[0].v
-    # sphere-model exact value for the quad: R^2 * dlon * d(sin lat)
-    sphere_exact = 6371007.1809**2 * np.radians(1.0) * np.sin(np.radians(1.0))
-    assert A == pytest.approx(sphere_exact, rel=1e-9)
-    # ellipsoidal truth ~12309 km^2: authalic-sphere model documented within ~0.5%
-    assert A == pytest.approx(12309e6, rel=1e-2)
+    # round 3: exact-authalic-latitude mapping — the area of a
+    # parallel/meridian-bounded quad must equal the exact ellipsoidal
+    # surface integral, not the 0.3%-off sphere model
+    a, f_ = 6378137.0, 1 / 298.257223563
+    e2 = f_ * (2 - f_)
+    phi = np.linspace(0.0, np.radians(1.0), 100001)
+    integrand = np.cos(phi) * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 2
+    ellip_exact = a * a * np.trapz(integrand, phi) * np.radians(1.0)
+    assert A == pytest.approx(ellip_exact, rel=1e-9)
 
 
 # -- geohash decode --------------------------------------------------------------------
