@@ -744,9 +744,64 @@ def st_num_geometries(wkb_col: Column) -> Column:
     return _f(wkb_col)
 
 
+def boundary_geometry(g: W.Geometry) -> W.Geometry:
+    """JTS Geometry.getBoundary semantics (round 3; was exterior-ring-only):
+    polygon -> LineString (no holes) or MultiLineString (shell + holes),
+    MultiPolygon -> MultiLineString of every ring, LineString -> MultiPoint
+    endpoints (EMPTY when closed), MultiLineString -> mod-2 endpoint rule,
+    points -> empty collection."""
+    if g.kind == W.POLYGON:
+        rings = [W.linestring(r[:, :2]) for r in g.parts]
+        return rings[0] if len(rings) == 1 else W.multi(W.MULTILINESTRING, rings)
+    if g.kind == W.MULTIPOLYGON:
+        rings = [W.linestring(r[:, :2]) for p in g.parts for r in p.parts]
+        return W.multi(W.MULTILINESTRING, rings)
+    if g.kind == W.LINESTRING:
+        if len(g.parts) >= 2 and np.array_equal(g.parts[0, :2], g.parts[-1, :2]):
+            return W.multi(W.GEOMETRYCOLLECTION, [])  # closed: empty boundary
+        return W.multi(
+            W.MULTIPOINT, [W.point(*g.parts[0, :2]), W.point(*g.parts[-1, :2])]
+        )
+    if g.kind == W.MULTILINESTRING:
+        # mod-2 rule: endpoints appearing an odd number of times
+        counts: dict[tuple, int] = {}
+        for line in g.parts:
+            for p in (line.parts[0, :2], line.parts[-1, :2]):
+                k = (float(p[0]), float(p[1]))
+                counts[k] = counts.get(k, 0) + 1
+        odd = [W.point(x, y) for (x, y), c in counts.items() if c % 2 == 1]
+        return W.multi(W.MULTIPOINT, odd) if odd else W.multi(W.GEOMETRYCOLLECTION, [])
+    return W.multi(W.GEOMETRYCOLLECTION, [])
+
+
+def st_boundary(wkb_col: Column) -> Column:
+    """ST_Boundary (full JTS getBoundary semantics)."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([W.dumps(boundary_geometry(W.loads(b))) for b in s])
+
+    return _f(wkb_col)
+
+
+def st_centroid(wkb_col: Column) -> Column:
+    """ST_Centroid as a POINT geometry (st_centroid_xy gives the raw pair)."""
+    xy = st_centroid_xy(wkb_col)
+    return st_point(F.element_at(xy, 1), F.element_at(xy, 2))
+
+
+def st_envelope(wkb_col: Column) -> Column:
+    """ST_Envelope as a polygon geometry (st_envelope_bbox gives the array)."""
+    bb = st_envelope_bbox(wkb_col)
+    return st_polygon_from_envelope(
+        F.element_at(bb, 1), F.element_at(bb, 2), F.element_at(bb, 3), F.element_at(bb, 4)
+    )
+
+
 def st_boundary_bbox(wkb_col: Column) -> Column:
     """Boundary ring of polygons as a LineString (exterior ring); lines ->
-    endpoints MultiPoint; points -> empty collection."""
+    endpoints MultiPoint; points -> empty collection.  Kept for callers that
+    want the exterior-only fast form; st_boundary is the full-semantics one."""
 
     @F.pandas_udf(BinaryType())
     def _f(s: pd.Series) -> pd.Series:

@@ -219,3 +219,53 @@ def test_intersection_aggr_convex(spark):
     row = O.st_intersection_aggr(df, group_by=["grp"]).collect()[0]
     got = W.loads(bytes(row.intersection_wkb))
     assert got.bounds == (5.0, 6.0, 10.0, 10.0)
+
+
+def test_st_boundary_full_semantics(spark):
+    """JTS getBoundary parity: holed polygon -> MultiLineString(shell, hole);
+    closed line -> EMPTY; MultiLineString -> mod-2 endpoints."""
+    import numpy as np
+
+    from incubator_sedona_spark.functions.st import st_boundary
+    from incubator_sedona_spark.geom import wkb as W
+
+    holed = W.Geometry(
+        W.POLYGON,
+        [
+            np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float),
+            np.array([(3, 3), (6, 3), (6, 6), (3, 6), (3, 3)], dtype=float),
+        ],
+    )
+    closed_line = W.linestring([(0, 0), (1, 0), (1, 1), (0, 0)])
+    open_line = W.linestring([(0, 0), (5, 5)])
+    mls = W.multi(
+        W.MULTILINESTRING,
+        [W.linestring([(0, 0), (1, 1)]), W.linestring([(1, 1), (2, 2)])],
+    )
+    df = spark.createDataFrame(
+        [(bytearray(W.dumps(g)),) for g in (holed, closed_line, open_line, mls)],
+        "wkb binary",
+    )
+    got = [W.loads(r.b) for r in df.select(st_boundary(F.col("wkb")).alias("b")).collect()]
+    assert got[0].kind == W.MULTILINESTRING and len(got[0].parts) == 2
+    assert got[1].kind == W.GEOMETRYCOLLECTION and len(got[1].parts) == 0
+    assert got[2].kind == W.MULTIPOINT and len(got[2].parts) == 2
+    # shared endpoint (1,1) appears twice -> excluded; (0,0) and (2,2) remain
+    assert got[3].kind == W.MULTIPOINT and len(got[3].parts) == 2
+    pts = sorted((float(p.parts[0][0]), float(p.parts[0][1])) for p in got[3].parts)
+    assert pts == [(0.0, 0.0), (2.0, 2.0)]
+
+
+def test_st_centroid_and_envelope_geometries(spark):
+    from incubator_sedona_spark.functions.st import st_centroid, st_envelope
+    from incubator_sedona_spark.geom import wkb as W
+
+    sq = W.polygon([(0, 0), (4, 0), (4, 2), (0, 2), (0, 0)])
+    df = spark.createDataFrame([(bytearray(W.dumps(sq)),)], "wkb binary")
+    row = df.select(
+        st_centroid(F.col("wkb")).alias("c"), st_envelope(F.col("wkb")).alias("e")
+    ).first()
+    c = W.loads(row.c)
+    assert c.kind == W.POINT and tuple(c.parts[0][:2]) == (2.0, 1.0)
+    e = W.loads(row.e)
+    assert e.kind == W.POLYGON and e.bounds == (0.0, 0.0, 4.0, 2.0)
