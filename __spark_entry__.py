@@ -386,6 +386,23 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "tile_x", "tile_y")
 
 
+def q_colorize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viz heatmap stage under the gate: per-tile customer counts colorized
+    with the GenericColoringRule ARGB ramp (fixed max=50); the oracle
+    re-derives the ramp as a SQL CASE chain over the same counts."""
+    from incubator_sedona_spark.operators.viz import st_colorize
+
+    cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
+    tiles = assign_tiles(cust, "x", "y", (0.0, 0.0, 100.0, 100.0), 16, 16)
+    counts = tiles.groupBy("tile_x", "tile_y").agg(F.count("*").alias("cnt"))
+    return counts.select(
+        "tile_x",
+        "tile_y",
+        "cnt",
+        st_colorize(F.col("cnt"), 50.0).cast("int").alias("color"),
+    )
+
+
 def q_envelope_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     return cust.agg(
@@ -825,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_box": q_range_box,
         "polygon_dedup_join": q_polygon_dedup_join,
         "tile_assign": q_tile_assign,
+        "colorize_tiles": q_colorize_tiles,
         "transform_conic": q_transform_conic,
         "angle_points": q_angle_points,
         "bounding_diag": q_bounding_diag,
@@ -980,6 +998,20 @@ def oracle_sql() -> dict[str, str]:
                    {tile_expr('x', 16)} AS tile_x,
                    {tile_expr('y', 16)} AS tile_y
             FROM (SELECT c_custkey, {lon_c} AS x, {lat_c} AS y FROM customer)
+        """,
+        # GenericColoringRule.java ramp re-derived as a CASE chain; the ARGB
+        # literals are java.awt.Color.getRGB of the rule's public constants
+        "colorize_tiles": f"""
+            SELECT tile_x, tile_y, cnt,
+                   CAST(CASE WHEN cnt = 0 THEN 16777215
+                        WHEN cnt * 255.0 / 50.0 < 5 THEN -1778319616 WHEN cnt * 255.0 / 50.0 < 15 THEN -1772749056 WHEN cnt * 255.0 / 50.0 < 25 THEN -1767178496 WHEN cnt * 255.0 / 50.0 < 35 THEN -1761607936 WHEN cnt * 255.0 / 50.0 < 45 THEN -1761607936 WHEN cnt * 255.0 / 50.0 < 60 THEN -1761629696 WHEN cnt * 255.0 / 50.0 < 80 THEN -1761651456 ELSE -1761673216 END AS INTEGER) AS color
+            FROM (
+              SELECT {tile_expr('x', 16)} AS tile_x,
+                     {tile_expr('y', 16)} AS tile_y,
+                     count(*) AS cnt
+              FROM (SELECT {lon_c} AS x, {lat_c} AS y FROM customer)
+              GROUP BY 1, 2
+            )
         """,
         "envelope_aggr": f"""
             SELECT min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
