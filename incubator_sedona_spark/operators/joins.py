@@ -165,6 +165,73 @@ def _predicate_refine_udf(predicate: str):
     return _refine
 
 
+def _rect_refine_xy(predicate: str, lp: str, rx: Column, ry: Column) -> Column:
+    """Native refine for AXIS-ALIGNED RECTANGLE left geometries vs point
+    coordinates — bit-for-bit the kernel's `_eval_geom_vs_points` semantics
+    (point_in_polygon's EPS boundary band incl. the max(len,1)/len
+    perpendicular tolerance and the half-open even-odd rule), expressed as
+    pure Catalyst comparisons.  The reference has the same specialization
+    (RectangleRDD / JoinQuery rectangle windows); here it removes the only
+    Python node from rectangle-window point joins."""
+    eps = F.lit(float(K._EPS))
+    x0, y0 = F.col(lp + "xmin"), F.col(lp + "ymin")
+    x1, y1 = F.col(lp + "xmax"), F.col(lp + "ymax")
+    w, h = x1 - x0, y1 - y0
+    tol_h = eps * F.greatest(w, F.lit(1.0)) / w  # horizontal edges: |dy| band
+    tol_v = eps * F.greatest(h, F.lit(1.0)) / h
+    near_bt = (
+        ((F.abs(ry - y0) <= tol_h) | (F.abs(ry - y1) <= tol_h))
+        & (rx >= x0 - eps)
+        & (rx <= x1 + eps)
+    )
+    near_lr = (
+        ((F.abs(rx - x0) <= tol_v) | (F.abs(rx - x1) <= tol_v))
+        & (ry >= y0 - eps)
+        & (ry <= y1 + eps)
+    )
+    on_bnd = near_bt | near_lr
+    # even-odd ray cast of a rectangle: one crossing iff x0 <= px < x1 with
+    # the half-open y rule counting the bottom edge in, top edge out
+    eo = (rx >= x0) & (rx < x1) & (ry >= y0) & (ry < y1)
+    inside = eo & ~on_bnd
+    closed = inside | on_bnd
+    if predicate == "contains":
+        return inside
+    if predicate in ("covers", "intersects"):
+        return closed
+    if predicate == "touches":
+        return on_bnd
+    # within/coveredby/equals/crosses/overlaps of polygon vs point: False
+    return F.lit(False)
+
+
+def _left_all_rectangles(df: DataFrame, geom_col: str) -> bool:
+    """One bounded aggregate: every left geometry is a single axis-aligned
+    5-point rectangle ring equal to its own bbox."""
+
+    @F.pandas_udf(BooleanType())
+    def _is_rect(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            g = W.loads(b)
+            ok = g.kind == W.POLYGON and len(g.parts) == 1 and len(g.parts[0]) == 5
+            if ok:
+                r = g.parts[0][:, :2]
+                xs, ys = sorted(set(r[:4, 0])), sorted(set(r[:4, 1]))
+                ok = (
+                    len(xs) == 2
+                    and len(ys) == 2
+                    and np.array_equal(r[0], r[-1])
+                    and all((x in xs) for x in r[:, 0])
+                    and all((y in ys) for y in r[:, 1])
+                )
+            out.append(bool(ok))
+        return pd.Series(out)
+
+    row = df.agg(F.min(_is_rect(F.col(geom_col))).alias("all_rect")).first()
+    return bool(row.all_rect)
+
+
 def _predicate_refine_xy_udf(predicate: str):
     """Refine against raw point coordinates — skips WKB for the point side."""
 
@@ -308,6 +375,7 @@ def spatial_join(
     right_point_cols: tuple[str, str] | None = None,
     left_cover: str = "bbox",
     assume_same_crs: bool = False,
+    left_rect: bool | str = "auto",
 ) -> DataFrame:
     """Join two geometry DataFrames on a spatial predicate.
 
@@ -383,13 +451,37 @@ def spatial_join(
     cand = cand.where(_dedup_filter(grid, lp, rp))
     if refine:
         if right_point_cols is not None:
-            cand = cand.where(
-                _predicate_refine_xy_udf(predicate)(
-                    F.col(lp + left_geom),
-                    F.col(rp + right_point_cols[0]),
-                    F.col(rp + right_point_cols[1]),
+            # rectangle-window fast path (RectangleRDD analog): when every
+            # left geometry is its own bbox, the kernel's polygon-vs-point
+            # answer is a pure comparison — zero Python in the whole join
+            use_rect = (
+                left_rect
+                if isinstance(left_rect, bool)
+                else (
+                    predicate in (
+                        "contains", "covers", "intersects", "touches",
+                        "within", "coveredby", "equals", "crosses", "overlaps",
+                    )
+                    and _left_all_rectangles(left, left_geom)
                 )
             )
+            if use_rect:
+                cand = cand.where(
+                    _rect_refine_xy(
+                        predicate,
+                        lp,
+                        F.col(rp + right_point_cols[0]),
+                        F.col(rp + right_point_cols[1]),
+                    )
+                )
+            else:
+                cand = cand.where(
+                    _predicate_refine_xy_udf(predicate)(
+                        F.col(lp + left_geom),
+                        F.col(rp + right_point_cols[0]),
+                        F.col(rp + right_point_cols[1]),
+                    )
+                )
         else:
             cand = cand.where(
                 _predicate_refine_udf(predicate)(

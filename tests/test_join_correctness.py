@@ -289,3 +289,59 @@ def test_distance_join_column_radius(spark):
     )
     got = {(r.lid, r.rid) for r in distance_join(left, right, "r", grid=GRID).collect()}
     assert got == {(0, 0)}  # 5 <= 5 matches; 1 > 0.5 does not
+
+
+def test_rectangle_fast_path_matches_kernel_refine(spark):
+    """The native rectangle refine must agree with the pandas-UDF kernel
+    refine on every predicate for a point set stressing corners, edges,
+    eps-offsets and interiors."""
+    import itertools
+
+    from incubator_sedona_spark.functions.st import st_polygon_from_envelope
+    from incubator_sedona_spark.operators.joins import spatial_join
+
+    eps = 1e-9
+    base = [0.0, 2.5, 5.0]
+    offs = [0.0, eps / 2, -eps / 2, 3 * eps, -3 * eps, 0.1, -0.1]
+    pts = [
+        (i, x + dx, y + dy)
+        for i, ((x, y), dx, dy) in enumerate(
+            itertools.product(itertools.product(base, base), offs, offs)
+        )
+    ]
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+    zones = spark.createDataFrame([(0,)], "zid long").select(
+        "zid",
+        st_polygon_from_envelope(
+            F.lit(0.0), F.lit(0.0), F.lit(5.0), F.lit(5.0)
+        ).alias("wkb"),
+    )
+    grid = Grid(-1.0, -1.0, 7.0, 7.0, 2)
+    for pred in ("contains", "covers", "intersects", "touches"):
+        fast = {
+            r.pid
+            for r in spatial_join(
+                zones, pdf, pred, grid=grid, right_point_cols=("x", "y"),
+                left_rect=True,
+            ).collect()
+        }
+        slow = {
+            r.pid
+            for r in spatial_join(
+                zones, pdf, pred, grid=grid, right_point_cols=("x", "y"),
+                left_rect=False,
+            ).collect()
+        }
+        assert fast == slow, (pred, fast ^ slow)
+    # with stored bbox columns (the GeoParquet-style layout) the whole join
+    # plan is Python-free; auto-detection picks the fast path
+    zones_bb = zones.select(
+        "zid", "wkb",
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        F.lit(5.0).alias("xmax"), F.lit(5.0).alias("ymax"),
+    )
+    j = spatial_join(zones_bb, pdf, "contains", grid=grid, right_point_cols=("x", "y"))
+    # project away the wkb payload: with stored bboxes + the rect refine the
+    # geometry bytes are never touched, so pruning yields a Python-free plan
+    plan = j.select("zid", "pid")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
