@@ -111,3 +111,59 @@ def salt_cells(
         .otherwise(F.lit(0))
         .cast("int"),
     )
+
+
+# -- bucketed (co-located) spatial joins -----------------------------------------
+
+
+def write_bucketed_geo_table(
+    df: DataFrame,
+    table_name: str,
+    grid: Grid,
+    n_buckets: int = 32,
+    geom_col: str = "wkb",
+    point_cols: tuple[str, str] | None = None,
+) -> None:
+    """Persist a geometry table BUCKETED BY its grid cell (Spark managed
+    table): two tables bucketed the same way equi-join on ``cell`` with NO
+    shuffle on either side — the co-located-join layout SURVEY.md §2.6 calls
+    for at warehouse scale, where re-shuffling 100 TB per join is the
+    dominant cost.  Point tables get their single half-open cell; polygon
+    tables store one row per covering cell (the same explode the join
+    performs, done once at write time instead of per query).
+    """
+    if point_cols is not None:
+        px, py = point_cols
+        out = df.withColumn("cell", grid.point_cell_col(F.col(px), F.col(py)))
+    else:
+        out = with_bbox(df, geom_col)
+        out = out.withColumn(
+            "cell",
+            F.explode(
+                grid.cover_bbox_col(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+                )
+            ),
+        )
+    (
+        out.write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_cell_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    pair_filter=None,
+) -> DataFrame:
+    """Cell equi-join of two same-bucketed tables.  With matching bucket
+    specs Catalyst plans a SortMergeJoin with ZERO Exchange operators (the
+    test asserts this on the physical plan) — candidate generation reads
+    co-located buckets directly.  ``pair_filter`` is the refine predicate
+    (bbox prefilter / kernel refine) applied after the join."""
+    l, r = spark.table(left_table), spark.table(right_table)
+    j = l.alias("l").join(r.alias("r"), "cell")
+    return j.where(pair_filter) if pair_filter is not None else j

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from incubator_sedona_spark.cells import Grid
 from incubator_sedona_spark.geom import wkb as W
+from incubator_sedona_spark.functions import st as ST
 from incubator_sedona_spark.operators.tiling import pixelize
 from incubator_sedona_spark.partitioning import (
     bbox_window_filter,
@@ -90,3 +91,73 @@ def test_pixelize_polygon_outline(spark):
     # outline pixels only (edge rasterization, not fill)
     assert (0, 0) in got and (8, 0) in got and (0, 8) in got
     assert (4, 4) not in got  # interior not filled
+
+
+def test_bucketed_cell_join_has_no_exchange(spark, tmp_path):
+    """Co-located layout: two tables bucketed by cell join with ZERO shuffle
+    (no Exchange in the physical plan) and produce the same pairs as the
+    ordinary cell join path."""
+    from incubator_sedona_spark.partitioning import (
+        bucketed_cell_join,
+        write_bucketed_geo_table,
+    )
+
+    import shutil
+
+    for t in ("bkt_pts", "bkt_zones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 3)
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (500, 2)))],
+        "pid long, x double, y double",
+    )
+    zones = spark.createDataFrame(
+        [(z, (z % 3) * 30.0, (z // 3) * 30.0) for z in range(9)],
+        "zid long, x0 double, y0 double",
+    ).select(
+        "zid",
+        F.col("x0").alias("xmin"), F.col("y0").alias("ymin"),
+        (F.col("x0") + 25.0).alias("xmax"), (F.col("y0") + 25.0).alias("ymax"),
+        ST.st_polygon_from_envelope(
+            F.col("x0"), F.col("y0"), F.col("x0") + 25.0, F.col("y0") + 25.0
+        ).alias("wkb"),
+    )
+    write_bucketed_geo_table(pts, "bkt_pts", grid, n_buckets=8, point_cols=("x", "y"))
+    write_bucketed_geo_table(zones, "bkt_zones", grid, n_buckets=8)
+
+    inside = (
+        (F.col("l.x") >= F.col("r.xmin")) & (F.col("l.x") <= F.col("r.xmax"))
+        & (F.col("l.y") >= F.col("r.ymin")) & (F.col("l.y") <= F.col("r.ymax"))
+    )
+    # force the sort-merge path (tiny test tables auto-broadcast otherwise)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_cell_join(spark, "bkt_pts", "bkt_zones", inside).select(
+            "pid", "zid"
+        ).dropDuplicates(["pid", "zid"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # bucketed SMJ: ZERO Exchange between the scans and the join (the
+        # dropDuplicates agg above the join may still shuffle)
+        assert "SortMergeJoin" in plan
+        join_seg = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_seg, join_seg[:800]
+
+        # same pairs as the ordinary engine join
+        from incubator_sedona_spark.operators.joins import spatial_join
+
+        expected = {
+            (r.pid, r.zid)
+            for r in spatial_join(
+                zones.select("zid", "wkb"), pts, "covers", grid=grid,
+                right_point_cols=("x", "y"),
+            ).collect()
+        }
+        got = {(r.pid, r.zid) for r in j.collect()}
+        assert got == expected and len(got) > 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_pts", "bkt_zones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
