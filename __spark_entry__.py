@@ -386,6 +386,31 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "tile_x", "tile_y")
 
 
+def q_pip_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against NON-rectangular (triangle) zones: exercises the
+    general vectorized ray-cast refine (the rectangle fast path is
+    auto-bypassed), oracled by SQL half-plane sign tests."""
+    from incubator_sedona_spark.functions.st import st_geom_from_wkt
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    x0 = (F.col("n_nationkey") % 5) * 20.0
+    y0 = ((F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5) * 20.0
+    # right triangle: (x0+1, y0+1) -> (x0+19, y0+1) -> (x0+1, y0+19)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        (x0 + 1).cast("int").cast("string"), F.lit(" "), (y0 + 1).cast("int").cast("string"), F.lit(", "),
+        (x0 + 19).cast("int").cast("string"), F.lit(" "), (y0 + 1).cast("int").cast("string"), F.lit(", "),
+        (x0 + 1).cast("int").cast("string"), F.lit(" "), (y0 + 19).cast("int").cast("string"), F.lit(", "),
+        (x0 + 1).cast("int").cast("string"), F.lit(" "), (y0 + 1).cast("int").cast("string"), F.lit("))"),
+    )
+    zones = nat.select("n_nationkey", st_geom_from_wkt(wkt).alias("wkb"))
+    pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
+    j = spatial_join(
+        zones, pts, "contains", grid=GRID_POLY, right_point_cols=("x", "y")
+    )
+    return j.select("n_nationkey", "o_orderkey")
+
+
 def q_colorize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viz heatmap stage under the gate: per-tile customer counts colorized
     with the GenericColoringRule ARGB ramp (fixed max=50); the oracle
@@ -843,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_dedup_join": q_polygon_dedup_join,
         "tile_assign": q_tile_assign,
         "colorize_tiles": q_colorize_tiles,
+        "pip_triangles": q_pip_triangles,
         "transform_conic": q_transform_conic,
         "angle_points": q_angle_points,
         "bounding_diag": q_bounding_diag,
@@ -1012,6 +1038,18 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT {lon_c} AS x, {lat_c} AS y FROM customer)
               GROUP BY 1, 2
             )
+        """,
+        # right triangle legs x=x0+1, y=y0+1, hypotenuse x'+y'=18 (strict
+        # interior = ST_Contains for points off the boundary)
+        "pip_triangles": f"""
+            SELECT z.n_nationkey, p.o_orderkey
+            FROM (SELECT n_nationkey,
+                         (n_nationkey % 5) * 20.0 AS zx0,
+                         ((n_nationkey - n_nationkey % 5) / 5) * 20.0 AS zy0
+                  FROM nation) z
+            JOIN (SELECT o_orderkey, {lon_o} AS x, {lat_o} AS y FROM orders) p
+              ON p.x > z.zx0 + 1 AND p.y > z.zy0 + 1
+             AND (p.x - z.zx0 - 1) + (p.y - z.zy0 - 1) < 18
         """,
         "envelope_aggr": f"""
             SELECT min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
