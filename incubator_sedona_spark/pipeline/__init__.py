@@ -13,4 +13,14 @@ from incubator_sedona_spark.pipeline.text import (  # noqa: F401
     langid_col,
     fingerprint_col,
 )
-from incubator_sedona_spark.pipeline.ann import brute_force_topk, lsh_topk  # noqa: F401
+from incubator_sedona_spark.pipeline.ann import (  # noqa: F401
+    brute_force_topk,
+    ivf_build,
+    ivf_topk,
+    lsh_topk,
+)
+from incubator_sedona_spark.pipeline.components import (  # noqa: F401
+    connected_components,
+    dedup_representatives,
+)
+from incubator_sedona_spark.pipeline.setjoin import exact_jaccard_self_join  # noqa: F401
