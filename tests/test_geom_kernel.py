@@ -115,3 +115,55 @@ def test_distance_batch_points():
     l = W.points_to_wkb(np.array([0.0, 0.0]), np.array([0.0, 0.0]))
     r = W.points_to_wkb(np.array([3.0, 1.0]), np.array([4.0, 0.0]))
     assert np.allclose(K.distance_batch(l, r), [5.0, 1.0])
+
+
+# -- property-based serde fuzz (round 3) --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    width=64,
+)
+
+
+@st.composite
+def _geometries(draw):
+    kind = draw(st.sampled_from(["point", "linestring", "polygon", "multipoint"]))
+    if kind == "point":
+        return W.point(draw(_coord), draw(_coord))
+    if kind == "linestring":
+        pts = draw(st.lists(st.tuples(_coord, _coord), min_size=2, max_size=12))
+        return W.linestring(pts)
+    if kind == "multipoint":
+        pts = draw(st.lists(st.tuples(_coord, _coord), min_size=1, max_size=8))
+        return W.multi(W.MULTIPOINT, [W.point(*p) for p in pts])
+    # polygon: closed ring from >=3 distinct corners (validity not required
+    # for serde roundtrips)
+    pts = draw(st.lists(st.tuples(_coord, _coord), min_size=3, max_size=10))
+    ring = pts + [pts[0]]
+    return W.polygon(ring)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_geometries())
+def test_wkb_serde_roundtrip_property(g):
+    """dumps/loads is the identity on kind, structure and coordinates for
+    arbitrary finite-coordinate geometries."""
+    g2 = W.loads(W.dumps(g))
+    assert g2.kind == g.kind
+    assert np.array_equal(g2.vertices(), g.vertices())
+    assert g2.bounds == g.bounds
+
+
+@settings(max_examples=100, deadline=None)
+@given(_geometries())
+def test_wkt_roundtrip_property(g):
+    """WKT write -> parse preserves coordinates exactly (full-precision
+    repr-based writer)."""
+    from incubator_sedona_spark.functions.st import _parse_wkt, _to_wkt
+
+    g2 = _parse_wkt(_to_wkt(g))
+    assert g2.kind == g.kind
+    assert np.array_equal(g2.vertices(), g.vertices())
