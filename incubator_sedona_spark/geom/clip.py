@@ -27,8 +27,13 @@ recipe):
    smallest containing shell) to emit proper Polygon/MultiPolygon WKB.
 
 Robustness model: offsets and snapping use an eps derived from the input
-extent (1e-9 relative).  Inputs whose features are finer than that tolerance
-are outside the contract — same class of contract as `geom.kernel`'s _EPS.
+extent (1e-9 relative); ring-interior probe points are offset by 16*eps, so
+the SUPPORTED feature floor is ~1e-7 relative to the extent.  Features finer
+than that (e.g. two edges 1e-7 apart on a 100-unit extent — found by the
+property fuzzer in test_geom_kernel) can misclassify the sliver between
+them; exactly-coincident edges are handled correctly (shared-edge dedup in
+_stitch).  Same class of contract as `geom.kernel`'s _EPS; JTS draws the
+identical line via its snap-rounding overlay fallback.
 """
 
 from __future__ import annotations

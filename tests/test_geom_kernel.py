@@ -167,3 +167,91 @@ def test_wkt_roundtrip_property(g):
     g2 = _parse_wkt(_to_wkt(g))
     assert g2.kind == g.kind
     assert np.array_equal(g2.vertices(), g.vertices())
+
+
+# coordinates on a 1e-3 grid: inside the overlay's documented feature floor
+# (~1e-7 relative, clip.py robustness model) while still colliding often —
+# exactly-coincident edges are the interesting supported case
+_box_c = st.integers(min_value=-100_000, max_value=100_000).map(lambda v: v / 1000.0)
+
+
+@st.composite
+def _boxes(draw):
+    x0, x1 = sorted((draw(_box_c), draw(_box_c)))
+    y0, y1 = sorted((draw(_box_c), draw(_box_c)))
+    return W.box(x0, y0, x1 + 1.0, y1 + 1.0)  # non-degenerate
+
+
+@settings(max_examples=150, deadline=None)
+@given(_boxes(), _boxes())
+def test_predicate_algebra_properties(a, b):
+    """Predicate algebra on random rectangles: symmetry, inversion and
+    implication laws the reference's SpatialPredicate.inverse() encodes."""
+    import incubator_sedona_spark.geom.kernel as KK
+
+    p = KK.predicate_pair
+    assert p("intersects", a, b) == p("intersects", b, a)
+    assert p("disjoint", a, b) == (not p("intersects", a, b))
+    assert p("contains", a, b) == p("within", b, a)
+    assert p("covers", a, b) == p("coveredby", b, a)
+    if p("contains", a, b):
+        assert p("covers", a, b)  # contains implies covers
+    if p("equals", a, b):
+        assert p("covers", a, b) and p("coveredby", a, b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_boxes(), _boxes())
+def test_overlay_inclusion_exclusion_property(a, b):
+    """area(A) + area(B) == area(A∪B) + area(A∩B) for random rectangles,
+    and the intersection area equals the closed-form box overlap."""
+    from incubator_sedona_spark.geom.clip import overlay_geoms
+
+    def area(g):
+        tot = 0.0
+        for leaf in g.leaves():
+            for i, r in enumerate(leaf.parts):
+                s = 0.0
+                for k in range(len(r) - 1):
+                    s += r[k][0] * r[k + 1][1] - r[k + 1][0] * r[k][1]
+                tot += abs(s) / 2 * (1 if i == 0 else -1)
+        return tot
+
+    ax0, ay0, ax1, ay1 = a.bounds
+    bx0, by0, bx1, by1 = b.bounds
+    ow = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    oh = max(0.0, min(ay1, by1) - max(ay0, by0))
+    a_area = (ax1 - ax0) * (ay1 - ay0)
+    b_area = (bx1 - bx0) * (by1 - by0)
+    inter = area(overlay_geoms(a, b, "intersection"))
+    union = area(overlay_geoms(a, b, "union"))
+    tol = 1e-6 * max(a_area + b_area, 1.0)
+    assert abs(inter - ow * oh) < tol
+    assert abs(a_area + b_area - union - inter) < tol
+
+
+def test_overlay_exactly_coincident_edges():
+    """Regression: boxes sharing edges exactly (nested sharing 3 edges,
+    partial overlap sharing sides, side-by-side) — the supported coincident
+    case the robustness model promises."""
+    from incubator_sedona_spark.geom.clip import overlay_geoms
+
+    def area(g):
+        tot = 0.0
+        for leaf in g.leaves():
+            for i, r in enumerate(leaf.parts):
+                s = 0.0
+                for k in range(len(r) - 1):
+                    s += r[k][0] * r[k + 1][1] - r[k + 1][0] * r[k][1]
+                tot += abs(s) / 2 * (1 if i == 0 else -1)
+        return tot
+
+    cases = [
+        (W.box(0, 0, 1, 14), W.box(0, 0, 1, 27), 14.0, 27.0),
+        (W.box(0, 0, 1, 8), W.box(0, -1, 1, 1), 1.0, 9.0),
+        (W.box(0, 0, 2, 2), W.box(0, 0, 2, 4), 4.0, 8.0),
+        (W.box(0, 0, 2, 2), W.box(1, 0, 3, 2), 2.0, 6.0),
+    ]
+    for a, b, want_i, want_u in cases:
+        assert area(overlay_geoms(a, b, "intersection")) == pytest.approx(want_i)
+        assert area(overlay_geoms(a, b, "union")) == pytest.approx(want_u)
