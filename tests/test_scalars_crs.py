@@ -526,3 +526,39 @@ def test_make_valid_bowtie_and_donut(spark):
     g1 = W.loads(out[1].fixed)
     assert g1.kind == W.POLYGON and len(g1.parts) == 2
     assert out[1].a == pytest.approx(91.0) and out[1].ok
+
+
+# -- property-based CRS roundtrip fuzz (round 3) -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_CRS_DOMAINS = {
+    "epsg:3857": (-179.9, 179.9, -85.0, 85.0),
+    "epsg:32633": (9.0, 21.0, 0.1, 84.0),      # UTM 33N with overreach
+    "epsg:32733": (9.0, 21.0, -80.0, -0.1),    # UTM 33S
+    "epsg:2154": (-5.0, 10.0, 41.0, 51.5),     # Lambert-93
+    "epsg:5070": (-125.0, -66.0, 24.0, 50.0),  # CONUS Albers
+    "epsg:3031": (-179.9, 179.9, -88.0, -60.0),
+    "epsg:3413": (-179.9, 179.9, 60.0, 89.9),
+    "epsg:5041": (-179.9, 179.9, 60.0, 89.9),  # UPS N
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(sorted(_CRS_DOMAINS)),
+    st.floats(0.0, 1.0, allow_nan=False),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_crs_roundtrip_property(code, fx, fy):
+    """4326 -> CRS -> 4326 reproduces every in-domain point to < 1e-8 deg
+    (~1 mm) for the whole projection registry."""
+    from incubator_sedona_spark.functions.crs import transform_xy
+
+    lo0, lo1, la0, la1 = _CRS_DOMAINS[code]
+    lon, lat = lo0 + fx * (lo1 - lo0), la0 + fy * (la1 - la0)
+    x, y = transform_xy([lon], [lat], "epsg:4326", code)
+    lon2, lat2 = transform_xy(x, y, code, "epsg:4326")
+    assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8, code
