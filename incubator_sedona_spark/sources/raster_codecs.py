@@ -13,9 +13,12 @@ against the public TIFF 6.0 + GeoTIFF 1.1 specs: little-endian, single
 image, uncompressed strips, chunky interleave, uint8/16/32 + int8/16/32 +
 float32/64 samples, ModelPixelScale + ModelTiepoint + GeoKeyDirectory
 (EPSG code) georeferencing.  Files it writes open in GDAL/QGIS; files it
-reads cover what RS_AsGeoTiff-style writers emit.  Compressed or tiled
-TIFFs fall back to tifffile/PIL when installed, else raise loudly —
-NEVER a silent wrong answer.
+reads cover what RS_AsGeoTiff-style writers emit.  Round 3: Deflate
+encode/decode, plus LZW, PackBits and horizontal-differencing predictor
+DECODE — all from the public TIFF 6.0 spec, cross-checked pixel-exact
+against javax.imageio's LZW/PackBits/Deflate writers.  Remaining exotic
+variants (JPEG-in-TIFF, tiled layout) fall back to tifffile/PIL when
+installed, else raise loudly — NEVER a silent wrong answer.
 
 All functions operate on the raster STRUCT column documented in
 operators/raster.py (RASTER_SCHEMA).
@@ -130,6 +133,7 @@ _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES_PER_PIXEL, _T_ROWS_PER_STRIP = 273, 277, 278
 _T_STRIP_COUNTS, _T_PLANAR = 279, 284
 _T_SAMPLE_FORMAT = 339
+_T_PREDICTOR = 317
 _T_MODEL_PIXEL_SCALE, _T_MODEL_TIEPOINT, _T_GEO_KEYS = 33550, 33922, 34735
 
 
@@ -143,11 +147,11 @@ def _np_dtype(sample_format: int, bits: int):
 def decode_geotiff(buf: bytes) -> dict:
     """Parse a classic TIFF into a raster dict (REAL parser, public spec).
 
-    Supports: II/MM byte order, single IFD, uncompressed strips, chunky
-    interleave, any uint/int/float sample width; ModelPixelScale +
-    ModelTiepoint + GeoKeyDirectory (geographic 2048 / projected 3072 key)
-    georeference.  Compressed/tiled files fall back to tifffile when
-    installed, else raise NotImplementedError loudly."""
+    Supports: II/MM byte order, single IFD, raw/Deflate/LZW/PackBits
+    strips (+ predictor 2), chunky interleave, any uint/int/float sample
+    width; ModelPixelScale + ModelTiepoint + GeoKeyDirectory (geographic
+    2048 / projected 3072 key) georeference.  Other variants fall back to
+    tifffile when installed, else raise NotImplementedError loudly."""
     if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF byte stream")
     bo = "<" if buf[:2] == b"II" else ">"
@@ -178,13 +182,13 @@ def decode_geotiff(buf: bytes) -> dict:
         tags[tag] = vals
 
     compression = int(tags.get(_T_COMPRESSION, [1])[0])
-    if compression != 1:
+    if compression not in (1, 5, 8, 32773, 32946):
         if _tifffile is not None:
             arr = _tifffile.imread(io.BytesIO(buf))
             return _array_to_raster_dict(arr, tags)
         raise NotImplementedError(
             f"TIFF compression {compression} needs tifffile/PIL (not installed); "
-            "uncompressed TIFFs decode natively"
+            "raw/Deflate/LZW/PackBits decode natively"
         )
     if _T_WIDTH not in tags or _T_HEIGHT not in tags:
         raise ValueError("TIFF missing dimensions")
@@ -202,9 +206,86 @@ def decode_geotiff(buf: bytes) -> dict:
 
     offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
     counts = [int(v) for v in tags[_T_STRIP_COUNTS]]
-    raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    strips = [buf[o : o + c] for o, c in zip(offsets, counts)]
+    if compression in (8, 32946):  # Deflate (Adobe / legacy tag)
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
+    elif compression == 32773:  # PackBits
+        strips = [_packbits_decode(s) for s in strips]
+    elif compression == 5:  # TIFF LZW
+        strips = [_lzw_decode(s) for s in strips]
+    raw = b"".join(strips)
     arr = np.frombuffer(raw, dtype=dt, count=w * h * spp).reshape(h, w, spp)
+    if int(tags.get(_T_PREDICTOR, [1])[0]) == 2:
+        # horizontal differencing: undo by cumulative sum along x per channel
+        kind = arr.dtype.kind
+        acc = np.cumsum(arr.astype(np.int64), axis=1)
+        if kind == "u":
+            acc = acc % (1 << (arr.dtype.itemsize * 8))
+        arr = acc.astype(arr.dtype)
     return _array_to_raster_dict(arr, tags)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in [0,127] -> copy n+1 literal bytes;
+    n in [-127,-1] -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first variable-width codes,
+    Clear=256, EOI=257, code width grows at 510/1022/2046 ('early change')."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    bitbuf, bitcnt = 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change: width bumps one code before the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _array_to_raster_dict(arr: np.ndarray, tags: dict) -> dict:
@@ -242,7 +323,7 @@ def _array_to_raster_dict(arr: np.ndarray, tags: dict) -> dict:
     }
 
 
-def encode_geotiff(r: dict, dtype: str = "float32") -> bytes:
+def encode_geotiff(r: dict, dtype: str = "float32", compression: str = "none") -> bytes:
     """Write a raster dict as a REAL little-endian GeoTIFF (uncompressed,
     chunky interleave, one strip, float32 by default) with ModelPixelScale,
     ModelTiepoint and a GeoKeyDirectory carrying the EPSG code.  Output opens
@@ -257,6 +338,14 @@ def encode_geotiff(r: dict, dtype: str = "float32") -> bytes:
     sample_format = {"f": 3, "i": 2, "u": 1}[dt.kind]
     pix = np.stack(bands, axis=2).astype(dt)  # chunky (h, w, spp)
     data = pix.tobytes()
+    comp_tag = 1
+    if compression == "deflate":
+        import zlib as _zlib
+
+        data = _zlib.compress(data, 6)
+        comp_tag = 8
+    elif compression != "none":
+        raise ValueError(f"unsupported TIFF compression {compression!r}")
 
     srid = int(r.get("srid") or 0)
     # geographic CRS codes are 4xxx; projected codes get key 3072
@@ -270,7 +359,7 @@ def encode_geotiff(r: dict, dtype: str = "float32") -> bytes:
         (_T_WIDTH, 4, 1, [w]),
         (_T_HEIGHT, 4, 1, [h]),
         (_T_BITS, 3, spp, [dt.itemsize * 8] * spp),
-        (_T_COMPRESSION, 3, 1, [1]),
+        (_T_COMPRESSION, 3, 1, [comp_tag]),
         (_T_PHOTOMETRIC, 3, 1, [1]),  # BlackIsZero
         (_T_STRIP_OFFSETS, 4, 1, [0]),  # patched below
         (_T_SAMPLES_PER_PIXEL, 3, 1, [spp]),

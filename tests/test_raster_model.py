@@ -348,3 +348,48 @@ def test_geotiff_df_source_drop_invalid(spark, tmp_path):
     strict = RC.read_geotiff_table(spark, str(src) + "/*.tif")
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_geotiff_deflate_roundtrip():
+    r = _sample_raster()
+    buf = RC.encode_geotiff(r, dtype="float32", compression="deflate")
+    d = RC.decode_geotiff(buf)
+    assert d["bands"] == r["bands"] and d["srid"] == 4326
+    # deflate output is a real TIFF with compression tag 8
+    assert len(buf) != len(RC.encode_geotiff(r, dtype="float32"))
+
+
+def _jvm_tiff(spark, compression: str, vals):
+    """Write a grayscale TIFF via javax.imageio with the given compression."""
+    jvm = spark._jvm
+    h, w = len(vals), len(vals[0])
+    bi = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    wr = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            wr.setSample(x, y, 0, int(vals[y][x]))
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    writer = it.next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(2)  # MODE_EXPLICIT
+    param.setCompressionType(compression)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+@pytest.mark.parametrize("compression", ["LZW", "PackBits", "Deflate"])
+def test_compressed_tiff_decode_vs_jvm_writer(spark, compression):
+    """Independent cross-check: javax.imageio writes LZW/PackBits/Deflate
+    TIFFs (possibly with the horizontal-differencing predictor) that the
+    native parser must decode pixel-exactly."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 255, size=(7, 13)).tolist()
+    buf = _jvm_tiff(spark, compression, vals)
+    d = RC.decode_geotiff(buf)
+    assert d["width"] == 13 and d["height"] == 7
+    got = np.asarray(d["bands"][0]).reshape(7, 13)
+    assert np.array_equal(got, np.asarray(vals, dtype=float)), compression
