@@ -16,8 +16,8 @@ float32/64 samples, ModelPixelScale + ModelTiepoint + GeoKeyDirectory
 reads cover what RS_AsGeoTiff-style writers emit.  Round 3: Deflate
 encode/decode, plus LZW, PackBits and horizontal-differencing predictor
 DECODE — all from the public TIFF 6.0 spec, cross-checked pixel-exact
-against javax.imageio's LZW/PackBits/Deflate writers.  Remaining exotic
-variants (JPEG-in-TIFF, tiled layout) fall back to tifffile/PIL when
+against javax.imageio's LZW/PackBits/Deflate writers.  Tiled layout decodes
+natively too (JVM tiled-writer cross-check); JPEG-in-TIFF falls back to tifffile/PIL when
 installed, else raise loudly — NEVER a silent wrong answer.
 
 All functions operate on the raster STRUCT column documented in
@@ -134,6 +134,8 @@ _T_STRIP_OFFSETS, _T_SAMPLES_PER_PIXEL, _T_ROWS_PER_STRIP = 273, 277, 278
 _T_STRIP_COUNTS, _T_PLANAR = 279, 284
 _T_SAMPLE_FORMAT = 339
 _T_PREDICTOR = 317
+_T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
+_T_TILE_OFFSETS, _T_TILE_COUNTS = 324, 325
 _T_MODEL_PIXEL_SCALE, _T_MODEL_TIEPOINT, _T_GEO_KEYS = 33550, 33922, 34735
 
 
@@ -148,7 +150,7 @@ def decode_geotiff(buf: bytes) -> dict:
     """Parse a classic TIFF into a raster dict (REAL parser, public spec).
 
     Supports: II/MM byte order, single IFD, raw/Deflate/LZW/PackBits
-    strips (+ predictor 2), chunky interleave, any uint/int/float sample
+    strips AND 16x16+ tile layouts (+ predictor 2), chunky interleave, any uint/int/float sample
     width; ModelPixelScale + ModelTiepoint + GeoKeyDirectory (geographic
     2048 / projected 3072 key) georeference.  Other variants fall back to
     tifffile when installed, else raise NotImplementedError loudly."""
@@ -204,26 +206,51 @@ def decode_geotiff(buf: bytes) -> dict:
     if bo == ">":
         dt = dt.newbyteorder(">")
 
+    def _inflate(chunk: bytes) -> bytes:
+        if compression in (8, 32946):  # Deflate (Adobe / legacy tag)
+            import zlib
+
+            return zlib.decompress(chunk)
+        if compression == 32773:
+            return _packbits_decode(chunk)
+        if compression == 5:
+            return _lzw_decode(chunk)
+        return chunk
+
+    predictor = int(tags.get(_T_PREDICTOR, [1])[0])
+
+    def _undo_predictor(a: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return a
+        # horizontal differencing resets per row (and per tile row for tiles)
+        acc = np.cumsum(a.astype(np.int64), axis=1)
+        if a.dtype.kind == "u":
+            acc = acc % (1 << (a.dtype.itemsize * 8))
+        return acc.astype(a.dtype)
+
+    if _T_TILE_OFFSETS in tags:  # tiled layout (TIFF 6.0 §15)
+        tw = int(tags[_T_TILE_WIDTH][0])
+        th = int(tags[_T_TILE_LENGTH][0])
+        t_offs = [int(v) for v in tags[_T_TILE_OFFSETS]]
+        t_cnts = [int(v) for v in tags[_T_TILE_COUNTS]]
+        tiles_x = (w + tw - 1) // tw
+        arr = np.zeros((h, w, spp), dtype=dt)
+        for k, (o, c) in enumerate(zip(t_offs, t_cnts)):
+            raw = _inflate(buf[o : o + c])
+            tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
+                th, tw, spp
+            )
+            tile = _undo_predictor(tile)
+            ty, tx = (k // tiles_x) * th, (k % tiles_x) * tw
+            ch, cw = min(th, h - ty), min(tw, w - tx)
+            arr[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+        return _array_to_raster_dict(arr, tags)
+
     offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
     counts = [int(v) for v in tags[_T_STRIP_COUNTS]]
-    strips = [buf[o : o + c] for o, c in zip(offsets, counts)]
-    if compression in (8, 32946):  # Deflate (Adobe / legacy tag)
-        import zlib
-
-        strips = [zlib.decompress(s) for s in strips]
-    elif compression == 32773:  # PackBits
-        strips = [_packbits_decode(s) for s in strips]
-    elif compression == 5:  # TIFF LZW
-        strips = [_lzw_decode(s) for s in strips]
-    raw = b"".join(strips)
+    raw = b"".join(_inflate(buf[o : o + c]) for o, c in zip(offsets, counts))
     arr = np.frombuffer(raw, dtype=dt, count=w * h * spp).reshape(h, w, spp)
-    if int(tags.get(_T_PREDICTOR, [1])[0]) == 2:
-        # horizontal differencing: undo by cumulative sum along x per channel
-        kind = arr.dtype.kind
-        acc = np.cumsum(arr.astype(np.int64), axis=1)
-        if kind == "u":
-            acc = acc % (1 << (arr.dtype.itemsize * 8))
-        arr = acc.astype(arr.dtype)
+    arr = _undo_predictor(arr)
     return _array_to_raster_dict(arr, tags)
 
 

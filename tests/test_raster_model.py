@@ -393,3 +393,34 @@ def test_compressed_tiff_decode_vs_jvm_writer(spark, compression):
     assert d["width"] == 13 and d["height"] == 7
     got = np.asarray(d["bands"][0]).reshape(7, 13)
     assert np.array_equal(got, np.asarray(vals, dtype=float)), compression
+
+
+@pytest.mark.parametrize("compression", [None, "LZW", "Deflate"])
+def test_tiled_tiff_decode_vs_jvm_writer(spark, compression):
+    """Tiled layout (TIFF 6.0 §15): javax.imageio writes explicit 16x16
+    tiles (image 13x7, so tiles crop at the edges) that must decode
+    pixel-exactly, compressed or not."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 255, size=(7, 13)).tolist()
+    h, w = 7, 13
+    bi = jvm.java.awt.image.BufferedImage(w, h, 10)
+    wr = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            wr.setSample(x, y, 0, int(vals[y][x]))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    param = writer.getDefaultWriteParam()
+    param.setTilingMode(2)  # MODE_EXPLICIT
+    param.setTiling(16, 16, 0, 0)
+    if compression:
+        param.setCompressionMode(2)
+        param.setCompressionType(compression)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    d = RC.decode_geotiff(bytes(baos.toByteArray()))
+    got = np.asarray(d["bands"][0]).reshape(h, w)
+    assert np.array_equal(got, np.asarray(vals, dtype=float)), compression
