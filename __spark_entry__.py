@@ -134,6 +134,39 @@ def q_pip_count_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join over a corpus with a PLANTED hot cell, run with automatic
+    skew salting (spatial_join(salt=True)).  Every orders point is unioned
+    with a copy squeezed into the 1x1 box [42,43)^2 — one grid cell holds
+    half the corpus, the skew shape that silently degrades an unsalted big x
+    big cell join to a straggler reducer.  The oracle proves the salted join
+    is output-identical to the plain cell join (salting only subdivides the
+    shuffle key)."""
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("pt_id"), _lon(k).alias("x"), _lat(k).alias("y")
+    )
+    hot = orders.select(
+        (k + F.lit(1_000_000_000)).alias("pt_id"),
+        (_lon(k) / 100.0 + 42.0).alias("x"),
+        (_lat(k) / 100.0 + 42.0).alias("y"),
+    )
+    pts = base.unionAll(hot)
+    j = spatial_join(
+        zones.select("n_nationkey", "wkb"),
+        pts,
+        "contains",
+        grid=GRID_PTS,
+        right_point_cols=("x", "y"),
+        salt=True,
+        salt_min_rows=1_000,
+        salt_factor=8,
+    )
+    return j.select("n_nationkey", "pt_id")
+
+
 def q_distance_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
@@ -861,6 +894,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join_pairs": q_pip_join_pairs,
+        "pip_join_salted": q_pip_join_salted,
         "pip_count_by_zone": q_pip_count_by_zone,
         "distance_join_pairs": q_distance_join_pairs,
         "knn_query": q_knn_query,
@@ -990,8 +1024,24 @@ def oracle_sql() -> dict[str, str]:
         f"ELSE 'und' END"
     )
 
+    pip_salted = f"""
+        WITH z AS ({zones16}),
+        p AS (
+          SELECT o_orderkey AS pt_id, {lon_o} AS x, {lat_o} AS y FROM orders
+          UNION ALL
+          SELECT o_orderkey + 1000000000 AS pt_id,
+                 ({lon_o}) / 100.0 + 42.0 AS x,
+                 ({lat_o}) / 100.0 + 42.0 AS y
+          FROM orders
+        )
+        SELECT z.n_nationkey, p.pt_id
+        FROM z, p
+        WHERE p.x > z.zxmin AND p.x < z.zxmax AND p.y > z.zymin AND p.y < z.zymax
+    """
+
     return {
         "pip_join_pairs": pip_pairs,
+        "pip_join_salted": pip_salted,
         "pip_count_by_zone": f"SELECT n_nationkey, count(*) AS cnt FROM ({pip_pairs}) GROUP BY n_nationkey",
         "distance_join_pairs": f"""
             WITH c AS (SELECT c_custkey, {lon_c} AS x, {lat_c} AS y FROM customer),

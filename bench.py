@@ -67,8 +67,53 @@ def flagship_images_pipeline(spark, imgs=None):
     return tiled.groupBy("zone_id", "tile_x", "tile_y").agg(F.count("*").alias("cnt"))
 
 
+def host_health_probe() -> dict:
+    """Fixed-work host probe so a throttled artifact is self-labeling
+    (round-3 VERDICT item 1): a BLAS GEMM (measures the cores/turbo state),
+    a pure-Python loop (interpreter/steal time), and a buffered file read
+    (the virtual disk, which swings 4-12x on this host).  Reference values
+    from a verified-clean window ship in BASELINE.md; a run whose probe is
+    >~2x those numbers was throttled and its timings indict the host, not
+    the plan."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(512, 512)
+    t0 = time.time()
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max()
+    gemm_sec = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    h = hashlib.md5()
+    for i in range(200_000):
+        h.update(str(i).encode())
+    py_sec = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    nbytes = 0
+    try:
+        import glob
+
+        for f in sorted(glob.glob(f"{SF_DIR}/lineitem.parquet/*.parquet"))[:2]:
+            with open(f, "rb") as fh:
+                nbytes += len(fh.read())
+    except OSError:
+        pass
+    disk_sec = round(time.time() - t0, 4)
+    return {
+        "gemm512_x6_sec": gemm_sec,
+        "py_md5_200k_sec": py_sec,
+        "disk_read_sec": disk_sec,
+        "disk_read_mb": round(nbytes / 1e6, 1),
+    }
+
+
 BENCH_QUERIES = [
     "pip_join_pairs",
+    "pip_join_salted",
     "pip_count_by_zone",
     "distance_join_pairs",
     "knn_join",
@@ -85,6 +130,8 @@ BENCH_QUERIES = [
     # stop-grams never reach the join); the uncapped exactness default stays
     # in the correctness gate as ngram_jaccard_pairs
     "ngram_jaccard_capped",
+    "ppjoin_pairs",
+    "dedup_components",
     "embed_dup_pairs",
     "union_area",
     "ann_topk",
@@ -101,8 +148,10 @@ def run_default(reps: int = 3):
     # pin the sf tables in executor memory: the sandbox disk swings 4-12x
     # run-to-run, and a suite that re-reads parquet measures the disk
     os.environ["ISS_BENCH_CACHE"] = "1"
+    preflight = host_health_probe()
     spark = get_spark(app_name="iss-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     import __spark_entry__ as E
+    from incubator_sedona_spark.pipeline import dedup as _DD
 
     imgs = _ensure_images(spark).persist()
     n_images = imgs.count()  # generate + warm the cache outside the timed region
@@ -131,17 +180,24 @@ def run_default(reps: int = 3):
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         samples = []
         for _ in range(reps):
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             samples.append(time.time() - t0)
+            # each rep builds a fresh plan; pins from the previous rep are
+            # garbage — release so dedup-family reps don't accumulate cache
+            _DD.release_cached()
         times[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
+        all_samples[name] = [round(s, 3) for s in samples]
     times["flagship_join_tiling"] = flagship_sec
     medians["flagship_join_tiling"] = flagship_med
+    all_samples["flagship_join_tiling"] = [round(s, 3) for s in fs]
 
+    postflight = host_health_probe()
     total = round(sum(times.values()), 3)
     out = {
         "metric": "spatial_join_tiling_suite",
@@ -149,10 +205,13 @@ def run_default(reps: int = 3):
         "unit": "sec",
         "queries": times,
         "queries_median": medians,
+        "queries_samples": all_samples,
+        "host_probe_before": preflight,
+        "host_probe_after": postflight,
         "sf": SF_DIR,
         "images_per_sec": round(n_images / flagship_sec, 1) if flagship_sec else None,
         "cpus": CPUS,
-        "protocol": "min_of_%d_after_full_warmup (medians alongside; shared-host throttle)" % reps,
+        "protocol": "min_of_%d_after_full_warmup (medians+samples alongside; host probe embedded)" % reps,
     }
     print(json.dumps(out))
     spark.stop()
@@ -199,6 +258,7 @@ def run_scaling(n_low: int = 2, n_high: int = 8):
     unsaturated 2->8 pair is the honest hardware window for judging the plan.
     """
     repeats = int(os.environ.get("ISS_SCALING_REPEATS", "3"))
+    preflight = host_health_probe()
     results = {}
     for n in (n_low, n_high):
         # min-of-N, same protocol as the headline suite: this host throttles
@@ -217,6 +277,8 @@ def run_scaling(n_low: int = 2, n_high: int = 8):
         "low": {"cores": n_low, **results[n_low]},
         "high": {"cores": n_high, **results[n_high]},
         "target": 0.8,
+        "host_probe_before": preflight,
+        "host_probe_after": host_health_probe(),
     }
     print(json.dumps(out))
     return out

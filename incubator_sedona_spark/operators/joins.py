@@ -205,26 +205,57 @@ def _rect_refine_xy(predicate: str, lp: str, rx: Column, ry: Column) -> Column:
     return F.lit(False)
 
 
+# Auto-probing for the rectangle fast path costs one pandas pass over the
+# left side; above this row count the probe itself outweighs the win it is
+# trying to detect (the fast path targets small window/zone sets joined
+# against huge point sides), so auto-detection declines and the kernel
+# refine runs.  Callers that KNOW a big left side is all rectangles pass
+# left_rect=True explicitly.
+RECT_PROBE_MAX_ROWS = 100_000
+
+
+def _ring_is_rectangle(r: np.ndarray) -> bool:
+    """True iff the closed 5-point ring traverses the 4 distinct corners of
+    its own bbox in rectangular cyclic order (each consecutive vertex pair
+    differs in EXACTLY one coordinate).  The traversal-order check matters:
+    a bowtie like (0,0),(1,1),(1,0),(0,1),(0,0) has 2 distinct xs/ys but is
+    NOT its bbox — bbox-containment answers would silently diverge from the
+    ray-cast kernel (round-3 ADVICE)."""
+    if len(r) != 5 or not np.array_equal(r[0], r[-1]):
+        return False
+    corners = {(float(x), float(y)) for x, y in r[:4]}
+    if len(corners) != 4:
+        return False
+    xs = {c[0] for c in corners}
+    ys = {c[1] for c in corners}
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    for i in range(4):
+        dx = r[i + 1, 0] != r[i, 0]
+        dy = r[i + 1, 1] != r[i, 1]
+        if dx == dy:  # both changed (diagonal) or neither (repeated vertex)
+            return False
+    return True
+
+
 def _left_all_rectangles(df: DataFrame, geom_col: str) -> bool:
     """One bounded aggregate: every left geometry is a single axis-aligned
-    5-point rectangle ring equal to its own bbox."""
+    5-point rectangle ring equal to its own bbox.  Declines (returns False)
+    without scanning when the left side exceeds RECT_PROBE_MAX_ROWS — the
+    row-cap check is a limit-pushed count, not a full scan."""
+    if df.limit(RECT_PROBE_MAX_ROWS + 1).count() > RECT_PROBE_MAX_ROWS:
+        return False
 
     @F.pandas_udf(BooleanType())
     def _is_rect(s: pd.Series) -> pd.Series:
         out = []
         for b in s:
             g = W.loads(b)
-            ok = g.kind == W.POLYGON and len(g.parts) == 1 and len(g.parts[0]) == 5
-            if ok:
-                r = g.parts[0][:, :2]
-                xs, ys = sorted(set(r[:4, 0])), sorted(set(r[:4, 1]))
-                ok = (
-                    len(xs) == 2
-                    and len(ys) == 2
-                    and np.array_equal(r[0], r[-1])
-                    and all((x in xs) for x in r[:, 0])
-                    and all((y in ys) for y in r[:, 1])
-                )
+            ok = (
+                g.kind == W.POLYGON
+                and len(g.parts) == 1
+                and _ring_is_rectangle(g.parts[0][:, :2])
+            )
             out.append(bool(ok))
         return pd.Series(out)
 
@@ -376,6 +407,9 @@ def spatial_join(
     left_cover: str = "bbox",
     assume_same_crs: bool = False,
     left_rect: bool | str = "auto",
+    salt: bool | dict | None = None,
+    salt_factor: int = 8,
+    salt_min_rows: int = 100_000,
 ) -> DataFrame:
     """Join two geometry DataFrames on a spatial predicate.
 
@@ -393,6 +427,21 @@ def spatial_join(
     whole bbox).  Requires ``right_point_cols`` (single-cell right side keeps
     the pair-uniqueness contract without the reference-point rule, whose
     reference cell may fall outside a shape cover).
+
+    ``salt`` — hot-cell skew handling (the engine's answer to the
+    reference's balanced-KDB default partitioner, KDB.java:90-235 /
+    SedonaConf.java:75).  ``True``: one cheap count-by-cell pre-aggregate
+    over the exploded RIGHT side finds cells above ``salt_min_rows``; those
+    cells' right rows get a deterministic sub-key in [0, salt_factor) and
+    the left rows covering them replicate into all sub-keys, so the
+    equi-join on (cell, salt) is output-identical to the cell join while
+    the hot cell's candidate work spreads over ``salt_factor`` reducers.  A
+    dict {cell_id: rows} (e.g. from partitioning.find_hot_cells on the
+    metrics ledger) skips the pre-aggregate.  Default off: AQE's skew-join
+    splitting already re-plans runtime skew for the sort-merge case, and
+    broadcast joins (small polygon side — the common shape) never shuffle
+    the probe side at all; salting is for the big x big join whose skew is
+    known up front, or when AQE is unavailable (e.g. streaming).
     """
     if predicate == "disjoint":
         raise NotImplementedError(
@@ -442,12 +491,34 @@ def spatial_join(
     else:
         le = _explode_cells(lft, grid, lp)
     re = _explode_cells(rgt, grid, rp)
+    join_keys: list[str] = [_CELL]
+    salt_col = "__iss_salt"
+    if salt:
+        # lazy import: partitioning imports this module at load time
+        from incubator_sedona_spark.partitioning import find_hot_cells, salt_cells
+
+        if isinstance(salt, dict):
+            hot = {int(k): int(v) for k, v in salt.items()}
+        else:
+            hot = find_hot_cells(
+                re, cell_col=_CELL, top_k=64, min_rows=salt_min_rows
+            )
+        if hot:
+            re = salt_cells(
+                re, hot, factor=salt_factor, cell_col=_CELL, salt_col=salt_col
+            )
+            le = salt_cells(
+                le, hot, factor=salt_factor, cell_col=_CELL,
+                explode_side=True, salt_col=salt_col,
+            )
+            join_keys.append(salt_col)
+
     if broadcast == "left":
         le = F.broadcast(le)
     elif broadcast == "right":
         re = F.broadcast(re)
 
-    cand = le.join(re, _CELL).where(_bbox_prefilter(predicate, lp, rp))
+    cand = le.join(re, join_keys).where(_bbox_prefilter(predicate, lp, rp))
     cand = cand.where(_dedup_filter(grid, lp, rp))
     if refine:
         if right_point_cols is not None:
@@ -489,7 +560,7 @@ def spatial_join(
                 )
             )
 
-    drop = [_CELL]
+    drop = list(join_keys)
     if not keep_bbox:
         for c in BBOX_COLS:
             if c not in left.columns:

@@ -28,6 +28,26 @@ from incubator_sedona_spark.geom import wkb as Wk
 from incubator_sedona_spark.operators.joins import with_bbox
 
 
+def _geom_points_dist_udf(geom_col, x_col, y_col):
+    """Point-to-geometry distance, grouped by the repeated geometry buffer so
+    each distinct geometry is parsed once and its candidate points scored in
+    one vectorized kernel call."""
+
+    @F.pandas_udf(DoubleType())
+    def _d(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        pts = np.column_stack([xs.to_numpy(np.float64), ys.to_numpy(np.float64)])
+        out = np.empty(len(wkbs))
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(wkbs):
+            groups.setdefault(b, []).append(i)
+        for buf, idxs in groups.items():
+            g = Wk.loads(buf)
+            out[idxs] = K.points_to_geometry_dist(g, pts[idxs])
+        return pd.Series(out)
+
+    return _d(geom_col, x_col, y_col)
+
+
 def knn_query(
     df: DataFrame,
     qx: float,
@@ -78,8 +98,9 @@ def knn_join(
     dist_col: str = "knn_dist",
     rank_col: str = "knn_rank",
     tiebreak: str | None = None,
+    right_geom: str | None = None,
 ) -> DataFrame:
-    """For every left point, its k nearest right points (both sides point data).
+    """For every left point, its k nearest right rows.
 
     Iterative cell-ring expansion: round r searches the (2R+1)^2 cell square,
     R doubling per round; a left point finishes when its k-th candidate
@@ -87,6 +108,17 @@ def knn_join(
     point outside).  Each round is one native equi-join + window top-k; at
     cluster scale the expensive first ring resolves the dense majority and the
     tail rounds touch few rows (AQE coalesces them).
+
+    ``right_geom``: name of a WKB column on the right side — the right rows
+    may then be ARBITRARY geometries (reference-parity with the single-query
+    kNN, which takes any geometry).  Each right row is assigned to every cell
+    its bbox covers, so any geometry intersecting the searched square is
+    found; the border-distance termination bound is therefore still exact
+    (an unfound geometry lies wholly outside the searched square, farther
+    than the border).  Distance is the kernel's point-to-geometry distance
+    (0 inside); multi-cell candidates are deduplicated per round before
+    ranking.  Default (None): both sides are points via x/y columns, fully
+    native plan.
     """
     lp = left.select(
         F.col(left_id),
@@ -102,16 +134,36 @@ def knn_join(
     ).cast("long")
     lp = lp.withColumn("__ix", ixc).withColumn("__iy", iyc)
 
-    rp = right.select(
-        *[F.col(c) for c in right.columns],
-        grid.point_cell_col(F.col(right_x), F.col(right_y)).alias("__cell"),
-    )
+    if right_geom is not None:
+        # stable per-row id BEFORE the cell explode (monotonic ids are
+        # plan-nondeterministic, so pin the relation they're computed on);
+        # used to dedup multi-cell candidates within a round
+        rp_base = (
+            with_bbox(right, right_geom)
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .persist()
+        )
+        rp = rp_base.withColumn(
+            "__cell",
+            F.explode(
+                grid.cover_bbox_col(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+                )
+            ),
+        ).drop("xmin", "ymin", "xmax", "ymax")
+        rp_cross = rp_base.drop("xmin", "ymin", "xmax", "ymax")
+    else:
+        rp = right.select(
+            *[F.col(c) for c in right.columns],
+            grid.point_cell_col(F.col(right_x), F.col(right_y)).alias("__cell"),
+        )
+        rp_cross = rp.drop("__cell")
 
     # adaptive initial ring: smallest R whose (2R+1)^2-cell square is expected
     # to hold >= 2k right points (one cheap count job; on a real table this is
     # parquet-metadata fast).  Round schedule: [R0, 8*R0, full] - bounded work,
     # stragglers only in later rounds.
-    n_right = rp.count()
+    n_right = rp_cross.count() if right_geom is not None else rp.count()
     density = max(n_right / float(n * n), 1e-12)
     r0 = int(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0))
     r0 = max(1, min(r0, n))
@@ -137,7 +189,7 @@ def knn_join(
     for rnd, (kind_r, R) in enumerate(schedule):
         final_round = rnd == len(schedule) - 1
         if kind_r == "cross":
-            cand = F.broadcast(pending).crossJoin(rp.drop("__cell"))
+            cand = F.broadcast(pending).crossJoin(rp_cross)
         else:
             # explode pending points to their (2R+1)^2 neighbor cells, clipped
             dxs = F.sequence(
@@ -160,13 +212,24 @@ def knn_join(
                 )
             )
             cand = pending.withColumn("__cell", F.explode(cells)).join(rp, "__cell")
-        cand = cand.withColumn(
-            dist_col,
-            F.sqrt(
-                F.pow(F.col("__lx") - F.col(right_x), 2)
-                + F.pow(F.col("__ly") - F.col(right_y), 2)
-            ),
-        )
+        if right_geom is not None:
+            if kind_r != "cross":
+                # a geometry covering c cells inside the ring appears c times
+                cand = cand.dropDuplicates([left_id, "__rid"])
+            cand = cand.withColumn(
+                dist_col,
+                _geom_points_dist_udf(
+                    F.col(right_geom), F.col("__lx"), F.col("__ly")
+                ),
+            )
+        else:
+            cand = cand.withColumn(
+                dist_col,
+                F.sqrt(
+                    F.pow(F.col("__lx") - F.col(right_x), 2)
+                    + F.pow(F.col("__ly") - F.col(right_y), 2)
+                ),
+            )
         order = [F.col(dist_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
         w = Window.partitionBy(left_id).orderBy(*order)
         topk = (
@@ -211,7 +274,7 @@ def knn_join(
             pending_next = pending.join(done_ids, left_id, "left_anti").persist()
             to_unpersist.append(pending_next)
 
-        done_rows = done_rows.drop("__cell", "__ix", "__iy")
+        done_rows = done_rows.drop("__cell", "__ix", "__iy", "__rid")
         results = done_rows if results is None else results.unionByName(done_rows)
         if pending_next is None or pending_next.count() == 0:
             break

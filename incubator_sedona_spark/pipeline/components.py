@@ -33,6 +33,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_INTEGRAL_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _check_id_types(df: DataFrame, cols: tuple[str, ...]) -> None:
+    """Ids are cast to long internally; a non-numeric id column (common for
+    string doc ids) would silently become NULL under default non-ANSI mode
+    and collapse every such node into one bogus NULL component.  Raise
+    loudly instead and tell the caller how to map ids to longs."""
+    types = dict(df.dtypes)
+    for c in cols:
+        if types[c] not in _INTEGRAL_ID_TYPES:
+            raise TypeError(
+                f"connected_components id column {c!r} has type {types[c]!r}; "
+                "only integral ids are supported (a lossy cast would collapse "
+                "non-numeric ids into one NULL component). Map string ids to "
+                "longs first, e.g. F.xxhash64(col) (collision odds ~n^2/2^64) "
+                "or a dense_rank over distinct ids, and apply the SAME "
+                "mapping to edges and nodes."
+            )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -50,6 +71,9 @@ def connected_components(
     ``node_col``); nodes absent from any edge become singleton components of
     themselves — exactly what dedup grouping needs (every doc gets a label).
     """
+    _check_id_types(edges, (src, dst))
+    if nodes is not None:
+        _check_id_types(nodes, (node_col,))
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()

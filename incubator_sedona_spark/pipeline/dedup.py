@@ -16,8 +16,22 @@ pipeline stage.  Everything is expressed shuffle-consciously:
 Every candidate generator takes ``max_bucket_size``: a bucket holding more
 rows than the cap (an empty-document bucket, a boilerplate shingle) is
 dropped from candidate generation instead of going quadratic.  The cap trades
-recall for a hard bound on work; it is OFF by default so that the exact-verify
-contract (Spark result == the SQL oracle's exact pair set) holds.
+recall for a hard bound on work; it is OFF by default.
+
+Exactness contract, stated precisely: with the defaults, minhash
+``verify="exact"`` is exact up to a QUANTIFIED banding-miss probability of
+<= 1e-7 per qualifying pair (``min_band_matches="auto"`` — see
+minhash_lsh_dup_pairs' docstring for the arithmetic).  Pass
+``min_band_matches=1`` for the zero-probabilistic-miss contract (every pair
+that collides in any band is verified), or use pipeline.setjoin's PPJoin for
+a deterministically exact join with no banding step at all.
+
+Intermediate relations that both sides of a self-join consume (band tables,
+shingle-set tables) are ``persist()``ed — Catalyst does not CSE across join
+sides, so without the pin the signature pipeline runs twice.  The pins are
+deliberately NOT released when the output DataFrame is returned (the caller
+has not materialized it yet); long-lived sessions issuing many dedup queries
+should call :func:`release_cached` after each output is consumed.
 """
 
 from __future__ import annotations
@@ -30,6 +44,29 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 _PRIME = (1 << 61) - 1
+
+# DataFrames persist()ed by dedup operators in this session (see module
+# docstring).  release_cached() unpins them once outputs are materialized.
+_PINNED: list = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate this module pinned; returns the count.
+
+    Call after the output DataFrames of dedup queries have been materialized
+    (collected/written) — unpinning earlier silently recomputes the signature
+    pipeline on both sides of the candidate self-join.
+    """
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -208,7 +245,7 @@ def minhash_lsh_dup_pairs(
     # (shingle explode + 64-way min agg) runs twice.  banded is (id, int,
     # long) — n*bands rows of ~20 bytes, orders of magnitude smaller than the
     # input corpus — so pinning it is the scale-correct call too.
-    banded = banded.persist()
+    banded = _pin(banded)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -371,7 +408,7 @@ def simhash_dup_pairs(
     ).select(id_col, F.col("ck.combo").alias("combo"), F.col("ck.key").alias("key"))
     # persisted for the same reason as minhash's banded rel: the self-join
     # consumes it twice and would recompute the signature aggregate both times
-    keyed = keyed.persist()
+    keyed = _pin(keyed)
     keyed = _cap_buckets(keyed, ["combo", "key"], max_bucket_size)
 
     a = keyed.select(F.col(id_col).alias("id_a"), "combo", "key")
@@ -432,7 +469,7 @@ def ngram_jaccard_pairs(
     ).dropDuplicates([id_col, "gram"])
     # persisted: consumed by both sides of the pair self-join (plus the df
     # and size aggregates in the capped form) — (id, gram) longs only
-    e0 = e0.persist()
+    e0 = _pin(e0)
     if max_df is None:
         sizes = e0.groupBy(id_col).agg(F.count("*").alias("n_grams"))
         e = e0.join(sizes, id_col)
@@ -469,29 +506,61 @@ def ngram_jaccard_pairs(
 _GEMM_BLOCK_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
+def _parquet_files_in(path: str) -> tuple[list[str], "object"]:
+    """List *.parquet files under ``path`` via a URI-aware pyarrow filesystem.
+
+    Unlike glob.glob (which silently matches nothing for hdfs://-s3:// URIs),
+    this resolves the scheme with pyarrow.fs.FileSystem.from_uri, so cluster
+    scratch dirs work; s3a:// (the Hadoop spelling) is mapped to s3://.
+    Returns (files, filesystem); a missing directory returns ([], fs).
+    """
+    from pyarrow import fs as pafs
+
+    uri = path.replace("s3a://", "s3://", 1) if path.startswith("s3a://") else path
+    filesystem, fs_path = pafs.FileSystem.from_uri(uri)
+    try:
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(fs_path, allow_not_found=True)
+        )
+    except OSError:
+        infos = []
+    files = sorted(
+        f.path for f in infos if f.is_file and f.base_name.endswith(".parquet")
+    )
+    return files, filesystem
+
+
 def _load_gemm_block(path: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, normalized float32 matrix^T) for one parquet block directory.
 
     Runs on the EXECUTOR: each task reads its block straight from the
     (distributed) filesystem — the driver never materializes row data.
+    Raises loudly when the block directory yields no files: the driver only
+    dispatches scans for blocks it verified exist after the write, so an
+    empty listing here means the executor cannot see the scratch filesystem
+    (e.g. a driver-local tempdir on a multi-node cluster) — silently
+    returning zero pairs would be corrupt output, not an empty block.
     """
     if path not in _GEMM_BLOCK_CACHE:
-        import glob as _glob
-
         import pyarrow.parquet as pq
 
-        files = sorted(_glob.glob(f"{path}/*.parquet"))
+        files, filesystem = _parquet_files_in(path)
         if not files:
-            _GEMM_BLOCK_CACHE[path] = (np.empty(0, dtype=np.int64), np.empty((0, 0), np.float32))
-        else:
-            tbl = pq.ParquetDataset(files).read()
-            pdf = tbl.to_pandas()
-            ids = pdf["__id"].to_numpy()
-            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            while len(_GEMM_BLOCK_CACHE) >= 2:
-                _GEMM_BLOCK_CACHE.pop(next(iter(_GEMM_BLOCK_CACHE)))
-            _GEMM_BLOCK_CACHE[path] = (ids, M.T.copy())
+            raise FileNotFoundError(
+                f"GEMM block {path!r} has no parquet files on the executor. "
+                "The scratch_dir must be a filesystem every executor can "
+                "read (a DFS path on clusters); the driver verified this "
+                "block existed after the write, so the path does not "
+                "resolve from this worker."
+            )
+        tbl = pq.ParquetDataset(files, filesystem=filesystem).read()
+        pdf = tbl.to_pandas()
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        while len(_GEMM_BLOCK_CACHE) >= 2:
+            _GEMM_BLOCK_CACHE.pop(next(iter(_GEMM_BLOCK_CACHE)))
+        _GEMM_BLOCK_CACHE[path] = (ids, M.T.copy())
     return _GEMM_BLOCK_CACHE[path]
 
 
@@ -566,13 +635,31 @@ def embedding_cosine_pairs_exact(
 
         return _scan
 
+    # driver-side existence check: hash blocks CAN be legitimately empty at
+    # small n, but a scratch_dir the driver itself cannot list (or with zero
+    # blocks after a non-empty write) means the write went somewhere the scan
+    # won't find — fail here, not with silent zero pairs (round-3 ADVICE)
+    block_dirs = [
+        p
+        for p in (f"{scratch_dir}/__blk={b}" for b in range(blocks))
+        if _parquet_files_in(p)[0]
+    ]
+    if n > 0 and not block_dirs:
+        raise FileNotFoundError(
+            f"no GEMM blocks visible under scratch_dir={scratch_dir!r} after "
+            f"writing {n} rows — the driver cannot list the path it just "
+            "wrote; pass a scratch_dir on a filesystem both the driver and "
+            "every executor can read"
+        )
+
     id_type = dict(df.dtypes)[id_col]
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     inp = df.select(F.col(id_col), F.col(vec_col))
     scans = [
-        inp.mapInPandas(_scan_against(f"{scratch_dir}/__blk={b}"), schema=schema)
-        for b in range(blocks)
+        inp.mapInPandas(_scan_against(p), schema=schema) for p in block_dirs
     ]
+    if not scans:  # n == 0: no pairs by definition
+        return spark.createDataFrame([], schema=schema)
     out = scans[0]
     for s in scans[1:]:
         out = out.unionAll(s)
@@ -622,7 +709,7 @@ def embedding_cosine_dup_pairs(
     )
     # persisted: consumed twice by the self-join (avoids rerunning the
     # pandas-UDF bucketing pass on both sides)
-    keyed = keyed.persist()
+    keyed = _pin(keyed)
     keyed = _cap_buckets(keyed, ["table", "bucket"], max_bucket_size)
 
     a = keyed.select(F.col(id_col).alias("id_a"), "table", "bucket")

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from incubator_sedona_spark.pipeline.dedup import _shingle_hash_rows
+from incubator_sedona_spark.pipeline.dedup import _pin, _shingle_hash_rows
 
 
 def exact_jaccard_self_join(
@@ -42,6 +42,21 @@ def exact_jaccard_self_join(
     Emits the same measure as ``minhash_lsh_dup_pairs(verify="exact")`` but
     with zero probabilistic misses, at the cost of the prefix join's
     sensitivity to corpus-wide near-duplicate structure.
+
+    On the suffix filter (Xiao et al. 2008 §4.2), evaluated and deliberately
+    NOT adopted — the asymmetric index prefix below replaces it: (1) every
+    unmatched shared element of a candidate pair exceeds the largest matched
+    prefix value (if v ∈ A∩B is unmatched, it sits in at least one suffix,
+    hence above that side's whole prefix, hence above the largest match —
+    and above it in BOTH arrays since the order is global), so ALL residual
+    overlap already lives in the tails the positional filter counts; a
+    positions-only "suffix" term can never tighten it.  (2) Probing suffix
+    CONTENT needs the sorted arrays per pair; here the global order is
+    (df, xxhash64), so the suffixes of non-duplicate documents are
+    i.i.d.-uniform in the order space and a depth-limited partition probe
+    returns the trivial bound with high probability — all cost, no prune.
+    The index-prefix reduction attacks the same quantity (candidate count)
+    with a guarantee that does not depend on the order's shape.
     """
     rows = _shingle_hash_rows(df, text_col, shingle_k, id_col).dropDuplicates(
         [id_col, "__sh"]
@@ -62,26 +77,45 @@ def exact_jaccard_self_join(
             F.size("__ord").alias("__n"),
         )
     )
-    # prefix length: n - ceil(t*n) + 1
-    plen = (F.col("__n") - F.ceil(F.col("__n") * F.lit(float(threshold))) + 1).cast("int")
-    prefixes = ordered.select(
-        F.col(id_col),
-        F.col("__n"),
-        F.posexplode(F.slice(F.col("__set"), 1, plen)).alias("__i", "__p"),
-    )
-    a = prefixes.select(
+    # consumed by THREE downstream plans (prefix sides a/b + the verify set
+    # join); Catalyst does not CSE across join sides, so without the pin the
+    # shingle+df pipeline runs three times.  (id, hashes, n) rows only.
+    # Registered with dedup's pin registry: dedup.release_cached() unpins.
+    ordered = _pin(ordered)
+    # Asymmetric prefixes (Xiao et al. 2008 / Bayardo et al. 2007): in each
+    # qualifying pair, let x be the SMALLER set under the (n, id) order and y
+    # the larger.  y contributes its full probe prefix (n - ceil(t*n) + 1);
+    # x only its INDEX prefix (n - ceil(2t/(1+t)*n) + 1), valid because
+    # ny >= nx makes the required overlap alpha >= 2t/(1+t)*nx.  Proof of
+    # the shared prefix-intersection lemma for any lengths px >= nx-alpha+1,
+    # py >= ny-alpha+1: if the prefixes are disjoint, take boundary values
+    # ux <= uy (WLOG); every common element c <= ux lies in BOTH prefixes
+    # (c <= ux bounds its rank in x, c <= uy bounds it in y) — so all common
+    # elements exceed ux, i.e. at most alpha-1 fit after x's prefix.  At
+    # t=0.7 the index side explodes ~40% fewer prefix rows, which shrinks
+    # the candidate equi-join superlinearly (measured in BENCH_r04).
+    t = float(threshold)
+    plen_probe = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
+    plen_index = (
+        F.col("__n") - F.ceil(F.col("__n") * F.lit(2.0 * t / (1.0 + t))) + 1
+    ).cast("int")
+    a = ordered.select(
         F.col(id_col).alias("id_a"), F.col("__n").alias("na"),
-        F.col("__i").alias("__ia"), F.col("__p"),
+        F.posexplode(F.slice(F.col("__set"), 1, plen_probe)).alias("__ia", "__p"),
     )
-    b = prefixes.select(
+    b = ordered.select(
         F.col(id_col).alias("id_b"), F.col("__n").alias("nb"),
-        F.col("__i").alias("__ib"), F.col("__p"),
+        F.posexplode(F.slice(F.col("__set"), 1, plen_index)).alias("__ib", "__p"),
     )
     matched = a.join(b, "__p").where(
-        (F.col("id_a") < F.col("id_b"))
+        # the index side must be strictly smaller under (n, id): each
+        # unordered pair is generated in exactly one role assignment
+        (
+            (F.col("nb") < F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
+        )
         # size-ratio prune, implied by jaccard >= t — result-preserving
-        & (F.col("nb") * F.lit(float(threshold)) <= F.col("na"))
-        & (F.col("na") * F.lit(float(threshold)) <= F.col("nb"))
+        & (F.col("na") * F.lit(t) <= F.col("nb"))
     )
     # PPJoin positional filter (Xiao et al. 2008), batch form — provably
     # result-preserving: both arrays are sorted by the SAME global order, so
@@ -101,7 +135,12 @@ def exact_jaccard_self_join(
     ubound = F.col("__c") + F.least(
         F.col("na") - F.col("__imax") - 1, F.col("nb") - F.col("__jmax") - 1
     )
-    cand = grp.where(ubound >= alpha).select("id_a", "id_b")
+    # restore the caller-facing (id_a < id_b) pair convention: role
+    # assignment above was by (n, id), not id
+    cand = grp.where(ubound >= alpha).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
     sets = ordered.select(id_col, "__set")
     withsets = cand.join(
         sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a"

@@ -12,8 +12,11 @@ Codecs, in order of preference per format:
   inflate + scanline filters 0-4, bit depth 8, gray/RGB/RGBA) — no external
   dependency; cross-checked in tests against the JVM's javax.imageio.
   PIL is used instead when installed (faster C path).
-- ``JPEG`` : PIL when installed; this container has no libjpeg, so without
-  PIL a real JPEG raises NotImplementedError (loud gate, not a fake).
+- ``JPEG`` : REAL baseline decoder implemented here from ITU-T T.81
+  (sources/jpeg.py: Huffman entropy decode, dequant, vectorized float IDCT,
+  fancy chroma upsample, YCbCr->RGB) — no external dependency; cross-checked
+  in tests against the JVM's javax.imageio.  PIL preferred when installed;
+  progressive/arithmetic streams raise NotImplementedError loudly.
 - ``TIFF`` : tifffile or PIL when installed; NotImplementedError otherwise.
 - ``ISSI`` : the deterministic stand-in codec used by the synthetic corpus:
   ``png`` tag = zlib raw RGB (lossless), ``jpeg`` tag = 4-level uniform
@@ -87,9 +90,11 @@ def decode_image(buf: bytes) -> np.ndarray:
             import io
 
             return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
-        raise NotImplementedError(
-            "real JPEG decode requires PIL/libjpeg, not installed in this environment"
-        )
+        # real pure-numpy baseline decoder (T.81 sequential DCT); progressive
+        # and arithmetic streams still raise loudly inside
+        from incubator_sedona_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     if head[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF (incl. GeoTiff payloads)
         try:
             import io

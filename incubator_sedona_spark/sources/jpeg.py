@@ -1,0 +1,336 @@
+"""Pure-Python/numpy baseline JPEG (JFIF) decoder — no libjpeg/PIL needed.
+
+Implements the ITU-T T.81 baseline sequential DCT process from the public
+spec: marker parse (DQT/DHT/SOF0/SOS/DRI), canonical Huffman entropy decode
+with byte destuffing and restart markers, dequantization, zig-zag
+reordering, exact float IDCT (orthonormal DCT-III as an 8x8 matrix product,
+vectorized over every block of a component at once), chroma upsampling
+(triangular filter for 2x factors — the libjpeg "fancy upsample" — nearest
+otherwise), and JFIF full-range YCbCr -> RGB.
+
+Coverage: baseline (SOF0) with 8-bit precision, 1 or 3 components, any
+sampling factors, interleaved single-scan streams, restart intervals.
+Progressive (SOF2), arithmetic coding, 12-bit precision, hierarchical, and
+multi-scan streams raise NotImplementedError LOUDLY — PIL remains the
+preferred path when installed (sources/images.decode_image dispatches).
+
+This is the decode stage the reference reaches through Java ImageIO
+(sql/common/.../io/raster/GeotiffSchema.scala:121-200); tests cross-check
+this decoder against the JVM's javax.imageio on the same bytes (PSNR
+>= 40 dB), the same strategy the PNG/TIFF codecs used.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag order: index i of the scan order -> (row, col) in the 8x8 block
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II matrix: C[k, n] = c(k) * cos((2n+1) k pi / 16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _C[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment's (bits, values)."""
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        idx = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = values[idx]
+                code += 1
+                idx += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy-coded data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past the end: T.81 says pad with 1-bits (F.2.2.5)
+            return 1
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t-bit magnitude v to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _destuff(data: bytes) -> tuple[bytes, list[int]]:
+    """Remove 0xFF00 byte stuffing; record restart-marker split offsets.
+
+    Returns (clean bytes, segment start offsets into clean bytes): the
+    entropy data between consecutive RSTn markers becomes one segment.
+    """
+    out = bytearray()
+    seg_starts = [0]
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                seg_starts.append(len(out))
+                i += 2
+                continue
+            break  # next real marker: end of scan data
+        out.append(b)
+        i += 1
+    return bytes(out), seg_starts
+
+
+def _upsample(plane: np.ndarray, hs: int, vs: int, w: int, h: int) -> np.ndarray:
+    """Upsample a subsampled component plane to (h, w).
+
+    For the ubiquitous 2x factors uses the triangular (1/4, 3/4) filter —
+    libjpeg's "fancy upsampling", which decoders like ImageIO mirror; other
+    factors fall back to nearest (sample replication)."""
+    if hs == 1 and vs == 1:
+        return plane[:h, :w]
+
+    def _tri_axis(p: np.ndarray, axis: int) -> np.ndarray:
+        # output 2n samples: out[2i] = (3*p[i] + p[i-1]) / 4, out[2i+1] =
+        # (3*p[i] + p[i+1]) / 4, edges replicate
+        p = np.moveaxis(p, axis, 0).astype(np.float64)
+        prev = np.concatenate([p[:1], p[:-1]], axis=0)
+        nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+        out = np.empty((2 * p.shape[0],) + p.shape[1:], dtype=np.float64)
+        out[0::2] = (3.0 * p + prev) / 4.0
+        out[1::2] = (3.0 * p + nxt) / 4.0
+        return np.moveaxis(out, 0, axis)
+
+    up = plane.astype(np.float64)
+    fh, fv = hs, vs
+    while fv >= 2:
+        up = _tri_axis(up, 0)
+        fv //= 2
+    while fh >= 2:
+        up = _tri_axis(up, 1)
+        fh //= 2
+    if fv > 1 or fh > 1:  # non-power-of-two factor: nearest
+        up = np.repeat(np.repeat(up, fv, axis=0), fh, axis=1)
+    return up[:h, :w]
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Decode baseline-JFIF bytes to an (h, w, 3) uint8 RGB array."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None
+    i = 2
+    n = len(buf)
+    while i < n:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        marker = buf[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", buf[i : i + 2])
+        seg = buf[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                qtables[tq] = tbl
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                nvals = sum(counts)
+                values = seg[p + 17 : p + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, values)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported (baseline is 8)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": fw, "h": fh, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
+                "hierarchical) not supported by the baseline decoder; "
+                "install PIL for full coverage"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) JPEG streams unsupported"
+                )
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
+            data = buf[i + seglen :]
+            return _decode_scan(
+                frame, scan, qtables, huff_dc, huff_ac, restart_interval, data
+            )
+        i += seglen
+    raise ValueError("JPEG stream ended without a scan")
+
+
+def _decode_scan(frame, scan, qtables, huff_dc, huff_ac, restart_interval, data):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    clean, seg_starts = _destuff(data)
+
+    # per-component storage for dequantized coefficient blocks
+    planes = []
+    for c in scan:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes.append(np.zeros((bh * bw, 64), dtype=np.float64))
+
+    reader = _BitReader(clean)
+    pred = [0] * len(scan)
+    seg_idx = 0
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(seg_starts):
+                raise ValueError("missing JPEG restart marker")
+            reader = _BitReader(clean[seg_starts[seg_idx] :])
+            pred = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(scan):
+            q = qtables[c["tq"]]
+            dc_t, ac_t = huff_dc[c["dc"]], huff_ac[c["ac"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.float64)
+                    t = reader.decode_huff(dc_t)
+                    diff = _extend(reader.receive(t), t)
+                    pred[ci] += diff
+                    coef[0] = pred[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: skip 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        coef[k] = _extend(reader.receive(s), s) * q[k]
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    planes[ci][row * (mcux * c["h"]) + col] = coef
+
+    # vectorized IDCT per component: de-zigzag all blocks, C^T @ B @ C
+    comps_px = []
+    for ci, c in enumerate(scan):
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        blocks = np.zeros((bh * bw, 64))
+        blocks[:, _ZIGZAG] = planes[ci]
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        # assemble block grid -> plane
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        comps_px.append(
+            _upsample(
+                plane,
+                hmax // c["h"],
+                vmax // c["v"],
+                w,
+                h,
+            )
+        )
+
+    if len(comps_px) == 1:
+        g = np.clip(comps_px[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = comps_px[0], comps_px[1] - 128.0, comps_px[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -67,8 +67,9 @@ def test_web_mercator_canonical():
 
 
 def test_unknown_crs_raises():
+    # 27700 became supported in round 4; 29999 remains outside the registry
     with pytest.raises(ValueError):
-        C.transform_xy(np.zeros(1), np.zeros(1), "epsg:4326", "epsg:27700")
+        C.transform_xy(np.zeros(1), np.zeros(1), "epsg:4326", "epsg:29999")
 
 
 def test_st_transform_column(spark):

@@ -169,10 +169,13 @@ def test_wkt_roundtrip_property(g):
     assert np.array_equal(g2.vertices(), g.vertices())
 
 
-# coordinates on a 1e-3 grid: inside the overlay's documented feature floor
-# (~1e-7 relative, clip.py robustness model) while still colliding often —
-# exactly-coincident edges are the interesting supported case
-_box_c = st.integers(min_value=-100_000, max_value=100_000).map(lambda v: v / 1000.0)
+# coordinates on a 1e-5 grid — 100x FINER than the pre-round-4 documented
+# feature floor (~1e-7 relative): separations down to 1e-5 abs on a ~200
+# extent now exercise the probe-hazard detector + snap-rounding fallback in
+# clip.py; exactly-coincident edges remain the always-supported case
+_box_c = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda v: v / 100_000.0
+)
 
 
 @st.composite
