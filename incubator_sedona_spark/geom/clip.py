@@ -259,8 +259,26 @@ def _stitch(subs: np.ndarray, eps: float) -> list[np.ndarray]:
         return []
     q = eps * 8.0
 
+    # Endpoint canonicalization.  Bare round(x/q) is unstable when a
+    # coordinate sits ON a cell boundary: two copies of the same point
+    # differing by 1e-17 of roundoff straddle the .5 and get DIFFERENT
+    # keys, so the ring never closes (found by the round-4 fuzzer at
+    # x = 3e-05 with q = 8e-07 — x/q = 37.5 exactly).  Instead, each new
+    # point adopts the key of any already-registered point within one cell
+    # (3x3 neighborhood probe), so near-identical points always share one
+    # canonical key regardless of where the grid lines fall.
+    reps: dict[tuple, tuple] = {}
+
     def key(x: float, y: float):
-        return (round(x / q), round(y / q))
+        kx, ky = round(x / q), round(y / q)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                k = (kx + dx, ky + dy)
+                r = reps.get(k)
+                if r is not None and abs(x - r[0]) <= q and abs(y - r[1]) <= q:
+                    return k
+        reps[(kx, ky)] = (x, y)
+        return (kx, ky)
 
     # dedup shared edges (kept once regardless of how many operands carry them)
     seen = {}

@@ -499,6 +499,13 @@ def spatial_join(
 
         if isinstance(salt, dict):
             hot = {int(k): int(v) for k, v in salt.items()}
+        elif right.isStreaming or left.isStreaming:
+            raise ValueError(
+                "salt=True detects hot cells with a count pre-aggregate, "
+                "which cannot run on a streaming side; pass a dict of hot "
+                "cells instead (e.g. from partitioning.find_hot_cells over "
+                "the metrics ledger of previous batches)"
+            )
         else:
             hot = find_hot_cells(
                 re, cell_col=_CELL, top_k=64, min_rows=salt_min_rows

@@ -44,19 +44,23 @@ def exact_jaccard_self_join(
     sensitivity to corpus-wide near-duplicate structure.
 
     On the suffix filter (Xiao et al. 2008 §4.2), evaluated and deliberately
-    NOT adopted — the asymmetric index prefix below replaces it: (1) every
-    unmatched shared element of a candidate pair exceeds the largest matched
-    prefix value (if v ∈ A∩B is unmatched, it sits in at least one suffix,
-    hence above that side's whole prefix, hence above the largest match —
-    and above it in BOTH arrays since the order is global), so ALL residual
-    overlap already lives in the tails the positional filter counts; a
-    positions-only "suffix" term can never tighten it.  (2) Probing suffix
-    CONTENT needs the sorted arrays per pair; here the global order is
-    (df, xxhash64), so the suffixes of non-duplicate documents are
-    i.i.d.-uniform in the order space and a depth-limited partition probe
-    returns the trivial bound with high probability — all cost, no prune.
-    The index-prefix reduction attacks the same quantity (candidate count)
-    with a guarantee that does not depend on the order's shape.
+    NOT adopted: (1) every unmatched shared element of a candidate pair
+    exceeds the largest matched prefix value (if v ∈ A∩B is unmatched, it
+    sits in at least one suffix, hence above that side's whole prefix,
+    hence above the largest match — and above it in BOTH arrays since the
+    order is global), so ALL residual overlap already lives in the tails
+    the positional filter counts; a positions-only "suffix" term can never
+    tighten it.  (2) Probing suffix CONTENT needs the sorted arrays per
+    pair; here the global order is (df, xxhash64), so the suffixes of
+    non-duplicate documents are i.i.d.-uniform in the order space and a
+    depth-limited partition probe returns the trivial bound with high
+    probability — all cost, no prune.  (3) The asymmetric index prefix —
+    the suffix filter's usual companion — was implemented and measured
+    end-to-end 2-3.5x SLOWER here (see the prefix-stage comment), because
+    without a per-probe suffix filter the shortened prefix guts the
+    positional filter.  The wall-clock wins that DID land: the ordered
+    relation is persisted (was recomputed 3x across the self-join and
+    verify plans), and the positional filter stays at full strength.
     """
     rows = _shingle_hash_rows(df, text_col, shingle_k, id_col).dropDuplicates(
         [id_col, "__sh"]
@@ -82,39 +86,37 @@ def exact_jaccard_self_join(
     # shingle+df pipeline runs three times.  (id, hashes, n) rows only.
     # Registered with dedup's pin registry: dedup.release_cached() unpins.
     ordered = _pin(ordered)
-    # Asymmetric prefixes (Xiao et al. 2008 / Bayardo et al. 2007): in each
-    # qualifying pair, let x be the SMALLER set under the (n, id) order and y
-    # the larger.  y contributes its full probe prefix (n - ceil(t*n) + 1);
-    # x only its INDEX prefix (n - ceil(2t/(1+t)*n) + 1), valid because
-    # ny >= nx makes the required overlap alpha >= 2t/(1+t)*nx.  Proof of
-    # the shared prefix-intersection lemma for any lengths px >= nx-alpha+1,
-    # py >= ny-alpha+1: if the prefixes are disjoint, take boundary values
-    # ux <= uy (WLOG); every common element c <= ux lies in BOTH prefixes
-    # (c <= ux bounds its rank in x, c <= uy bounds it in y) — so all common
-    # elements exceed ux, i.e. at most alpha-1 fit after x's prefix.  At
-    # t=0.7 the index side explodes ~40% fewer prefix rows, which shrinks
-    # the candidate equi-join superlinearly (measured in BENCH_r04).
+    # SYMMETRIC probe prefixes (n - ceil(t*n) + 1 per side), deliberately.
+    # The classic asymmetric index prefix (Xiao et al. 2008 / Bayardo et
+    # al. 2007: the (n,id)-smaller side explodes only n - ceil(2t/(1+t)*n)
+    # + 1 rows) was implemented and MEASURED on the sf0.1 corpus at t=0.7:
+    # it cuts prefix-join traffic 23.9M -> 14.6M matched rows (-39%) but
+    # caps the smaller side's max match position at the short prefix, which
+    # guts the positional filter (post-filter verify candidates 532K ->
+    # 1.81M, and verify ships the full hash-set arrays) — end-to-end wall
+    # 2-3.5x SLOWER on identical 256-pair output.  The index prefix pays
+    # off in index-probe architectures where the suffix filter re-tightens
+    # the bound per probe; in this batch plan the positional filter is the
+    # only array-free prune, so both sides keep the full probe prefix.
     t = float(threshold)
-    plen_probe = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
-    plen_index = (
-        F.col("__n") - F.ceil(F.col("__n") * F.lit(2.0 * t / (1.0 + t))) + 1
-    ).cast("int")
-    a = ordered.select(
-        F.col(id_col).alias("id_a"), F.col("__n").alias("na"),
-        F.posexplode(F.slice(F.col("__set"), 1, plen_probe)).alias("__ia", "__p"),
+    plen = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(F.slice(F.col("__set"), 1, plen)).alias("__i", "__p"),
     )
-    b = ordered.select(
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("na"),
+        F.col("__i").alias("__ia"), F.col("__p"),
+    )
+    b = prefixes.select(
         F.col(id_col).alias("id_b"), F.col("__n").alias("nb"),
-        F.posexplode(F.slice(F.col("__set"), 1, plen_index)).alias("__ib", "__p"),
+        F.col("__i").alias("__ib"), F.col("__p"),
     )
     matched = a.join(b, "__p").where(
-        # the index side must be strictly smaller under (n, id): each
-        # unordered pair is generated in exactly one role assignment
-        (
-            (F.col("nb") < F.col("na"))
-            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
-        )
+        (F.col("id_a") < F.col("id_b"))
         # size-ratio prune, implied by jaccard >= t — result-preserving
+        & (F.col("nb") * F.lit(t) <= F.col("na"))
         & (F.col("na") * F.lit(t) <= F.col("nb"))
     )
     # PPJoin positional filter (Xiao et al. 2008), batch form — provably
@@ -123,7 +125,8 @@ def exact_jaccard_self_join(
     # than the largest match, hence at position > imax in A and > jmax in B;
     # overlap <= c + min(na-imax-1, nb-jmax-1).  Jaccard >= t requires
     # overlap >= ceil(t/(1+t) * (na+nb)).  Measured on the sf0.1 boilerplate
-    # corpus: 2.95M candidate pairs -> 418K verified (7x less set shuffle).
+    # corpus (t=0.7, k=5): 4.75M distinct candidate pairs -> 532K verified
+    # (9x less set-array shuffle into the verify join).
     grp = matched.groupBy("id_a", "id_b", "na", "nb").agg(
         F.count("*").alias("__c"),
         F.max("__ia").alias("__imax"),

@@ -44,3 +44,31 @@ def cell_metrics(
     ]
     out = out.withColumn("lineage", F.concat(*digits) if digits else F.lit(""))
     return out.withColumn("emitted_at", F.lit(int(time.time())))
+
+
+def hot_cells_from_ledger(
+    ledger: DataFrame,
+    min_rows: int = 100_000,
+    top_k: int = 64,
+    cell_col: str = "cell",
+    count_col: str = "row_count",
+) -> dict:
+    """Hot-cell dict for ``spatial_join(salt=...)`` from a persisted ledger.
+
+    Closes the skew loop the reference leaves to its KDB partitioner
+    (KDB.java:90-235): a prior run's per-cell metrics (written by
+    cell_metrics + checkpointing) identify the cells worth salting, with NO
+    pre-aggregate pass over the current input — the form that also works
+    for streaming joins, where a count() detection pass is impossible.
+    When the ledger holds several emissions per cell, the max count wins
+    (salting a since-cooled cell only costs factor-way fanout of that
+    cell's build rows)."""
+    rows = (
+        ledger.groupBy(cell_col)
+        .agg(F.max(count_col).alias("__n"))
+        .where(F.col("__n") >= min_rows)
+        .orderBy(F.col("__n").desc())
+        .limit(top_k)
+        .collect()
+    )
+    return {int(r[cell_col]): int(r["__n"]) for r in rows}

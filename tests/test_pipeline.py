@@ -260,6 +260,8 @@ def test_no_row_data_collect_in_package():
         # ivf_build trains on a BOUNDED sample (<= sample_rows, FAISS-style);
         # assignment itself is distributed
         "pipeline/ann.py",
+        # hot_cells_from_ledger: top-k (<= 64) aggregated hot-cell scalars
+        "plans/metrics.py",
     }
     offenders = []
     for p in root.rglob("*.py"):

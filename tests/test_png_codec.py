@@ -157,10 +157,14 @@ def test_png_roundtrip_via_pil():
     assert np.array_equal(IM.decode_image(bio.getvalue()), pix)
 
 
-def test_jpeg_without_pil_raises_loudly():
+def test_jpeg_dispatch_without_pil():
+    """Round 4: real JPEG bytes now dispatch to the native baseline decoder
+    (sources/jpeg.py) instead of a blanket NotImplementedError; truncated
+    garbage still fails loudly (ValueError), and progressive streams keep
+    the NotImplementedError gate (tested in test_jpeg_codec)."""
     if IM._HAS_PIL:
         pytest.skip("PIL present: real JPEG decode available")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         IM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 

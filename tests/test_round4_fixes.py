@@ -114,6 +114,29 @@ class TestSaltedJoin:
         assert key(salted) == key(base)
         assert len(base) > 0
 
+    def test_ledger_driven_salt(self, spark):
+        """The full skew loop: per-cell metrics ledger -> hot-cell dict ->
+        salted join, no detection pass over the current input."""
+        from incubator_sedona_spark.plans.metrics import (
+            cell_metrics,
+            hot_cells_from_ledger,
+        )
+
+        zones, pts = self._planted(spark)
+        grid = Grid(0.0, 0.0, 40.01, 40.01, 3)
+        ledger = cell_metrics(pts, grid, "x", "y")
+        hot = hot_cells_from_ledger(ledger, min_rows=100, top_k=4)
+        assert len(hot) >= 1
+        base = spatial_join(
+            zones, pts, "contains", grid=grid, right_point_cols=("x", "y")
+        ).select("zid", "k").toPandas()
+        salted = spatial_join(
+            zones, pts, "contains", grid=grid, right_point_cols=("x", "y"),
+            salt=hot, salt_factor=4,
+        ).select("zid", "k").toPandas()
+        key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+        assert key(salted) == key(base)
+
     def test_salt_dict_path(self, spark):
         """Ledger-driven dict of hot cells skips the pre-aggregate and still
         produces identical output."""

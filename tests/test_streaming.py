@@ -2,6 +2,7 @@
 (reference contract: python/tests/streaming/spark/test_constructor_functions.py:327-336)."""
 
 import numpy as np
+import pytest
 
 from incubator_sedona_spark.cells import Grid
 from incubator_sedona_spark.streaming.ops import streaming_enrich, streaming_tile_counts
@@ -189,4 +190,73 @@ def test_streaming_spatial_join_parity(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {(r.zone_id, r.pid) for r in spark.sql("SELECT * FROM stream_pip").collect()}
+    assert got == expected
+
+
+def test_streaming_spatial_join_dict_salt(spark, tmp_path):
+    """Skew salting under Structured Streaming: AQE cannot re-plan a
+    streaming join, so a KNOWN hot cell (e.g. from the metrics ledger of
+    prior batches) is salted via the dict form — output identical to the
+    unsalted stream-static join.  salt=True (pre-aggregate detection) must
+    refuse loudly on a streaming side."""
+    from pyspark.sql import functions as F
+
+    from incubator_sedona_spark.functions.st import st_polygon_from_envelope
+    from incubator_sedona_spark.operators.joins import spatial_join
+
+    src = str(tmp_path / "pts_salt_src")
+    rng = np.random.default_rng(5)
+    # half the points planted inside one cell
+    xs = np.concatenate([rng.uniform(0, 100, 200), rng.uniform(40.1, 40.9, 200)])
+    ys = np.concatenate([rng.uniform(0, 100, 200), rng.uniform(40.1, 40.9, 200)])
+    pdf = [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    spark.createDataFrame(pdf, "pid long, x double, y double").write.parquet(src)
+
+    zones = spark.createDataFrame(
+        [(z, (z % 3) * 30.0, (z // 3) * 30.0) for z in range(9)],
+        "zone_id long, x0 double, y0 double",
+    ).select(
+        "zone_id",
+        st_polygon_from_envelope(
+            F.col("x0"), F.col("y0"), F.col("x0") + 25.0, F.col("y0") + 25.0
+        ).alias("wkb"),
+    )
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 4)
+    hot_cell = int(
+        spark.read.parquet(src)
+        .select(grid.point_cell_col(F.col("x"), F.col("y")).alias("c"))
+        .groupBy("c").count().orderBy(F.desc("count")).first()["c"]
+    )
+
+    expected = {
+        (r.zone_id, r.pid)
+        for r in spatial_join(
+            zones, spark.read.parquet(src), "contains", grid=grid,
+            right_point_cols=("x", "y"),
+        ).collect()
+    }
+
+    stream_pts = spark.readStream.schema("pid long, x double, y double").parquet(src)
+    with pytest.raises(ValueError, match="streaming"):
+        spatial_join(
+            zones, stream_pts, "contains", grid=grid,
+            right_point_cols=("x", "y"), salt=True,
+        )
+    joined = spatial_join(
+        zones, stream_pts, "contains", grid=grid, right_point_cols=("x", "y"),
+        salt={hot_cell: 200}, salt_factor=4,
+    )
+    q = (
+        joined.select("zone_id", "pid")
+        .writeStream.format("memory")
+        .queryName("stream_pip_salted")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.zone_id, r.pid)
+        for r in spark.sql("SELECT * FROM stream_pip_salted").collect()
+    }
     assert got == expected
