@@ -592,6 +592,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("vec_id", F.round(F.col("cosine"), 3).alias("cos_r"))
 
 
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index path gate-checked EXACTLY: with nprobe = n_lists every list
+    is probed, so the probe-pruned scan must equal the brute-force top-k —
+    the same oracle as ann_topk.  Exercises the full trainer -> assignment
+    -> probe pipeline (pipeline/ann.py) under the driver's hash compare;
+    recall at nprobe < n_lists is covered by pytest."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    assigned, cents = ANN.ivf_build(embs, n_lists=16, sample_rows=5000)
+    got = ANN.ivf_topk(assigned, cents, q, 10, nprobe=16)
+    return got.select("vec_id", F.round(F.col("cosine"), 3).alias("cos_r"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding generates candidates; the exact char-5-shingle Jaccard
     verify makes the emitted pair set equal to the all-pairs oracle (a pair at
@@ -921,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "minhash_pairs": q_minhash_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
         "dedup_components": q_dedup_components,
@@ -1172,6 +1186,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ann_topk": """
+            SELECT vec_id, round(CAST(cosine AS DOUBLE), 3) AS cos_r FROM (
+              SELECT e.vec_id,
+                     list_cosine_similarity(e.embedding, q.embedding) AS cosine
+              FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ) ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # nprobe = n_lists probes every inverted list, so the IVF path must
+        # reproduce the exact brute-force answer — same oracle by design
+        "ann_ivf_exact": """
             SELECT vec_id, round(CAST(cosine AS DOUBLE), 3) AS cos_r FROM (
               SELECT e.vec_id,
                      list_cosine_similarity(e.embedding, q.embedding) AS cosine

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "embed_dup_pairs",
     "union_area",
     "ann_topk",
+    "ann_ivf_exact",
 ]
 
 
