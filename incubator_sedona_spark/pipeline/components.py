@@ -15,8 +15,20 @@ short chains of mutually similar documents — diameters in the low single
 digits even at web scale, so this beats the O(log^2 n) alternating-star
 contraction (Kiveris et al., "Connected Components in MapReduce and Beyond")
 in practice: star rounds cost 2 shuffles each and rebuild the edge set, while
-label rounds ride a shrinking frontier.  ``max_iter`` bounds pathological
-inputs loudly rather than silently mislabeling.
+label rounds ride a shrinking frontier.
+
+Pathological graphs (long chains — diameter >> label rounds) no longer
+raise: from the third round on, each round ALSO applies pointer jumping
+(the Shiloach-Vishkin shortcut, ``label(u) <- label(label(u))``) — shallow
+near-dup graphs converge in the plain rounds and never pay for it — which
+at least doubles the
+distance a label has traveled per round, so convergence is O(log diameter)
+on ANY graph — a 2000-node path converges in ~11 rounds instead of 2000.
+Correctness is unchanged: a label is always the id of a node in the same
+component (neighbor mins and jumps both stay inside the component), labels
+decrease monotonically, and at the fixed point they are constant per
+component and equal to its min id.  ``max_iter=50`` is now a loud backstop
+that no physical graph reaches (it covers diameters up to ~2^49).
 
 Scale notes:
 - Only (node, label) longs ride each shuffle; edges are reused as-is each
@@ -99,6 +111,31 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("label"))
         )
+        # pointer jumping (Shiloach-Vishkin shortcut): label <- label(label).
+        # One extra (node, label)-longs self-join per round; turns O(diameter)
+        # convergence into O(log diameter) on chain-like graphs.  Engaged
+        # only from round 3: near-dup graphs (diameter 1-2, the common case)
+        # converge in the plain rounds without paying for the join.  left
+        # join + coalesce: a label id may be an edge endpoint absent from
+        # `labels` for one round on universe-restricted runs.
+        if it >= 2:
+            new_labels = (
+                new_labels.alias("x")
+                .join(
+                    new_labels.select(
+                        F.col("u").alias("__l"), F.col("label").alias("__ll")
+                    ).alias("y"),
+                    F.col("x.label") == F.col("__l"),
+                    "left",
+                )
+                .select(
+                    F.col("x.u").alias("u"),
+                    F.least(
+                        F.col("x.label"),
+                        F.coalesce(F.col("__ll"), F.col("x.label")),
+                    ).alias("label"),
+                )
+            )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
@@ -113,8 +150,9 @@ def connected_components(
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(pathological graph diameter); raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds — "
+            "with pointer jumping this covers diameters up to ~2^"
+            f"{max_iter - 1}, so this indicates a bug, not a big graph"
         )
 
     sym.unpersist()

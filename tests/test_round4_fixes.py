@@ -177,6 +177,32 @@ class TestComponentsIdGuard:
         got = connected_components(edges).toPandas().sort_values("id")
         assert list(got["component"]) == [1, 1, 1]
 
+    def test_long_chain_converges_via_pointer_jumping(self, spark):
+        """A 1500-node path has diameter 1500 — plain label propagation
+        needs 1500 rounds (the pre-round-4 code raised at max_iter=50);
+        pointer jumping converges in O(log diameter)."""
+        from incubator_sedona_spark.pipeline.components import connected_components
+
+        n = 1500
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+        )
+        got = connected_components(edges, max_iter=25).toPandas()
+        assert len(got) == n
+        assert set(got["component"]) == {0}
+
+    def test_two_chains_and_singleton(self, spark):
+        from incubator_sedona_spark.pipeline.components import connected_components
+
+        e = [(i, i + 1) for i in range(0, 99)] + [(200 + i, 201 + i) for i in range(50)]
+        edges = spark.createDataFrame(pd.DataFrame(e, columns=["id_a", "id_b"]))
+        nodes = spark.createDataFrame(pd.DataFrame({"id": list(range(100)) + list(range(200, 251)) + [999]}))
+        got = connected_components(edges, nodes=nodes, max_iter=25).toPandas()
+        comp = dict(zip(got["id"], got["component"]))
+        assert all(comp[i] == 0 for i in range(100))
+        assert all(comp[i] == 200 for i in range(200, 251))
+        assert comp[999] == 999
+
 
 class TestGemmBlockLoudFailure:
     def test_missing_block_raises(self):
