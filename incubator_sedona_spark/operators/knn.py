@@ -134,14 +134,18 @@ def knn_join(
     ).cast("long")
     lp = lp.withColumn("__ix", ixc).withColumn("__iy", iyc)
 
+    # persists below are registered with the shared pin registry so a
+    # long-lived session can free them: pipeline.dedup.release_cached()
+    from incubator_sedona_spark.pipeline.dedup import _pin
+
     if right_geom is not None:
         # stable per-row id BEFORE the cell explode (monotonic ids are
         # plan-nondeterministic, so pin the relation they're computed on);
         # used to dedup multi-cell candidates within a round
-        rp_base = (
-            with_bbox(right, right_geom)
-            .withColumn("__rid", F.monotonically_increasing_id())
-            .persist()
+        rp_base = _pin(
+            with_bbox(right, right_geom).withColumn(
+                "__rid", F.monotonically_increasing_id()
+            )
         )
         rp = rp_base.withColumn(
             "__cell",
@@ -184,8 +188,7 @@ def knn_join(
         schedule.append(("cross", None))
 
     results = None
-    pending = lp.persist()
-    to_unpersist = []
+    pending = _pin(lp)
     for rnd, (kind_r, R) in enumerate(schedule):
         final_round = rnd == len(schedule) - 1
         if kind_r == "cross":
@@ -232,12 +235,10 @@ def knn_join(
             )
         order = [F.col(dist_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
         w = Window.partitionBy(left_id).orderBy(*order)
-        topk = (
+        topk = _pin(  # reused for done-id detection AND result emission
             cand.withColumn(rank_col, F.row_number().over(w))
             .where(F.col(rank_col) <= k)
-            .persist()  # reused for done-id detection AND result emission
         )
-        to_unpersist.append(topk)
 
         if final_round:
             done_rows = topk
@@ -271,8 +272,7 @@ def knn_join(
                 .select(left_id)
             )
             done_rows = topk.join(done_ids, left_id, "left_semi")
-            pending_next = pending.join(done_ids, left_id, "left_anti").persist()
-            to_unpersist.append(pending_next)
+            pending_next = _pin(pending.join(done_ids, left_id, "left_anti"))
 
         done_rows = done_rows.drop("__cell", "__ix", "__iy", "__rid")
         results = done_rows if results is None else results.unionByName(done_rows)

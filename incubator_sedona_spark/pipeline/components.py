@@ -118,11 +118,16 @@ def connected_components(
         # converge in the plain rounds without paying for the join.  left
         # join + coalesce: a label id may be an edge endpoint absent from
         # `labels` for one round on universe-restricted runs.
+        jump_base = None
         if it >= 2:
+            # persist BEFORE the self-join: Catalyst does not CSE across
+            # join sides, so without the pin the msgs-union-groupBy
+            # aggregate would run twice per jump round
+            jump_base = new_labels.persist()
             new_labels = (
-                new_labels.alias("x")
+                jump_base.alias("x")
                 .join(
-                    new_labels.select(
+                    jump_base.select(
                         F.col("u").alias("__l"), F.col("label").alias("__ll")
                     ).alias("y"),
                     F.col("x.label") == F.col("__l"),
@@ -145,6 +150,8 @@ def connected_components(
             .count()
         )
         labels.unpersist()
+        if jump_base is not None:
+            jump_base.unpersist()  # new_labels is materialized above
         labels = new_labels
         if changed == 0:
             break

@@ -138,12 +138,8 @@ def exact_jaccard_self_join(
     ubound = F.col("__c") + F.least(
         F.col("na") - F.col("__imax") - 1, F.col("nb") - F.col("__jmax") - 1
     )
-    # restore the caller-facing (id_a < id_b) pair convention: role
-    # assignment above was by (n, id), not id
-    cand = grp.where(ubound >= alpha).select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    )
+    # pairs already carry id_a < id_b (the symmetric-prefix join condition)
+    cand = grp.where(ubound >= alpha).select("id_a", "id_b")
     sets = ordered.select(id_col, "__set")
     withsets = cand.join(
         sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a"

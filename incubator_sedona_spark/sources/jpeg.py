@@ -120,6 +120,9 @@ def _destuff(data: bytes) -> tuple[bytes, list[int]]:
                 out.append(0xFF)
                 i += 2
                 continue
+            if nxt == 0xFF:  # fill byte (T.81 B.1.1.2): skip, re-examine
+                i += 1
+                continue
             if 0xD0 <= nxt <= 0xD7:  # RSTn
                 seg_starts.append(len(out))
                 i += 2
@@ -152,13 +155,16 @@ def _upsample(plane: np.ndarray, hs: int, vs: int, w: int, h: int) -> np.ndarray
 
     up = plane.astype(np.float64)
     fh, fv = hs, vs
-    while fv >= 2:
+    # triangular passes only for the 2x parts of the factor; odd residues
+    # (3:1 etc.) fall to nearest replication — applying the 2x filter to an
+    # odd factor would emit a wrong-sized plane
+    while fv % 2 == 0:
         up = _tri_axis(up, 0)
         fv //= 2
-    while fh >= 2:
+    while fh % 2 == 0:
         up = _tri_axis(up, 1)
         fh //= 2
-    if fv > 1 or fh > 1:  # non-power-of-two factor: nearest
+    if fv > 1 or fh > 1:
         up = np.repeat(np.repeat(up, fv, axis=0), fh, axis=1)
     return up[:h, :w]
 
@@ -181,6 +187,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             i += 1
             continue
         marker = buf[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

