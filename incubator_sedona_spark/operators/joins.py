@@ -620,8 +620,14 @@ def distance_join(
     left_point_cols: tuple[str, str] | None = None,
     right_point_cols: tuple[str, str] | None = None,
     geography: bool = False,
+    salt: bool | dict | None = None,
+    salt_factor: int = 8,
+    salt_min_rows: int = 100_000,
 ) -> DataFrame:
     """Join pairs with ST_Distance(left, right) <= radius (or < if not include_boundary).
+
+    ``salt``/``salt_factor``/``salt_min_rows``: hot-cell skew handling,
+    identical semantics to :func:`spatial_join`.
 
     DistanceJoinExec analog (DistanceJoinExec.scala:50-84): the LEFT side's
     envelope is expanded by the radius (TraitJoinQueryBase.scala:51-66) before
@@ -716,12 +722,35 @@ def distance_join(
 
     le = _explode_cells(lft, grid, "e_")
     re = _explode_cells(rgt, grid, rp)
+
+    join_keys: list[str] = [_CELL]
+    salt_col = "__iss_salt"
+    if salt:
+        from incubator_sedona_spark.partitioning import find_hot_cells, salt_cells
+
+        if isinstance(salt, dict):
+            hot = {int(k): int(v) for k, v in salt.items()}
+        elif right.isStreaming or left.isStreaming:
+            raise ValueError(
+                "salt=True needs a count pre-aggregate, impossible on a "
+                "streaming side; pass a dict of hot cells instead"
+            )
+        else:
+            hot = find_hot_cells(re, cell_col=_CELL, top_k=64, min_rows=salt_min_rows)
+        if hot:
+            re = salt_cells(re, hot, factor=salt_factor, cell_col=_CELL, salt_col=salt_col)
+            le = salt_cells(
+                le, hot, factor=salt_factor, cell_col=_CELL,
+                explode_side=True, salt_col=salt_col,
+            )
+            join_keys.append(salt_col)
+
     if broadcast == "left":
         le = F.broadcast(le)
     elif broadcast == "right":
         re = F.broadcast(re)
 
-    cand = le.join(re, _CELL).where(_bbox_prefilter("intersects", "e_", rp))
+    cand = le.join(re, join_keys).where(_bbox_prefilter("intersects", "e_", rp))
     cand = cand.where(_dedup_filter(grid, "e_", rp))
 
     l_is_pt = (F.col(lp + "xmin") == F.col(lp + "xmax")) & (
@@ -772,7 +801,7 @@ def distance_join(
     )
     cand = cand.where(cond)
 
-    drop = [_CELL, "__iss_rad"] + ["e_" + c for c in BBOX_COLS]
+    drop = list(join_keys) + ["__iss_rad"] + ["e_" + c for c in BBOX_COLS]
     for c in BBOX_COLS:
         if c not in left.columns:
             drop.append(lp + c)

@@ -137,6 +137,32 @@ class TestSaltedJoin:
         key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
         assert key(salted) == key(base)
 
+    def test_distance_join_salted(self, spark):
+        """distance_join takes the same salt option; output identical."""
+        from incubator_sedona_spark.operators.joins import distance_join
+
+        rng = np.random.RandomState(13)
+        a = spark.createDataFrame(
+            pd.DataFrame(
+                {"ka": np.arange(100), "x": rng.uniform(0, 40, 100), "y": rng.uniform(0, 40, 100)}
+            )
+        )
+        # the RIGHT side carries the planted hot cell (hot-cell detection
+        # pre-aggregates the probe/right side)
+        xb = np.concatenate([rng.uniform(0, 40, 150), rng.uniform(10.1, 10.9, 150)])
+        yb = np.concatenate([rng.uniform(0, 40, 150), rng.uniform(10.1, 10.9, 150)])
+        b = spark.createDataFrame(pd.DataFrame({"kb": np.arange(300), "x": xb, "y": yb}))
+        kwargs = dict(
+            left_point_cols=("x", "y"), right_point_cols=("x", "y"),
+        )
+        base = distance_join(a, b, 2.0, **kwargs).select("ka", "kb").toPandas()
+        salted = distance_join(
+            a, b, 2.0, salt=True, salt_min_rows=50, salt_factor=4, **kwargs
+        ).select("ka", "kb").toPandas()
+        key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+        assert key(salted) == key(base)
+        assert len(base) > 0
+
     def test_salt_dict_path(self, spark):
         """Ledger-driven dict of hot cells skips the pre-aggregate and still
         produces identical output."""
