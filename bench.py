@@ -331,8 +331,16 @@ def zones_df_cached(spark):
     return zones_df(spark)
 
 
-def scaling_measure(n: int, n_rows: int = 60_000) -> dict:
-    """One scaling measurement at local[n] over the in-flight corpus."""
+def scaling_measure(n: int, n_rows: int | None = None) -> dict:
+    """One scaling measurement at local[n] over the in-flight corpus.
+
+    ``ISS_SCALING_ROWS`` overrides the corpus size (default 60,000 — the
+    historical cross-round comparison point).  Larger corpora amortize the
+    per-job fixed overhead (driver scheduling, stage setup) that dominates
+    the efficiency denominator as the per-image work gets faster — the
+    regime closer to the real 100-TB deployment."""
+    if n_rows is None:
+        n_rows = int(os.environ.get("ISS_SCALING_ROWS", "60000"))
     spark = get_spark(
         app_name=f"iss-scale-{n}", master=f"local[{n}]", shuffle_partitions=2 * n
     )

@@ -474,6 +474,68 @@ _POLAR = {
 }
 
 
+# -- user-extensible registry --------------------------------------------------
+
+ELLIPSOIDS = {
+    "WGS84": _ELL_WGS84,
+    "GRS80": _ELL_GRS80,
+    "airy1830": _ELL_AIRY,
+    "intl1924": Ellipsoid(6378388.0, 1.0 / 297.0),
+    "clarke1866": Ellipsoid(6378206.4, 1.0 / 294.978698214),
+    "bessel1841": Ellipsoid(6377397.155, 1.0 / 299.1528128),
+}
+
+
+def register_tm_crs(
+    code: int,
+    lat0: float,
+    lon0: float,
+    k0: float,
+    false_easting: float,
+    false_northing: float,
+    ellipsoid: str = "GRS80",
+    unit: float = 1.0,
+    helmert: tuple | None = None,
+) -> None:
+    """Register a Transverse Mercator CRS under ``epsg:<code>`` at runtime.
+
+    The built-in registry covers the high-traffic codes; any remaining TM
+    grid (state planes, national grids) is one call with its published EPSG
+    parameters — the engine's answer to the reference's full GeoTools EPSG
+    database (Functions.java:184-189) without shipping one.  ``unit``:
+    meters per output unit (0.3048006096012192 for US survey feet).
+    ``helmert``: optional (tx, ty, tz, rx", ry", rz", s_ppm) position-vector
+    datum shift FROM WGS84 (see the OSGB36 entry).
+    """
+    ell = ELLIPSOIDS[ellipsoid]
+    datum = Helmert(*helmert, ell) if helmert is not None else None
+    _TM[int(code)] = TMCRS(
+        ell, lat0, lon0, k0, false_easting, false_northing, unit=unit, datum=datum
+    )
+
+
+def register_conic_crs(
+    code: int,
+    kind: str,
+    lat1: float,
+    lat2: float,
+    lat0: float,
+    lon0: float,
+    false_easting: float,
+    false_northing: float,
+    ellipsoid: str = "GRS80",
+) -> None:
+    """Register a 2-standard-parallel conic CRS (``kind`` = "lcc" or
+    "albers") under ``epsg:<code>`` at runtime — see register_tm_crs."""
+    if kind not in ("lcc", "albers"):
+        raise ValueError(f"kind must be 'lcc' or 'albers', got {kind!r}")
+    ell = ELLIPSOIDS[ellipsoid]
+    _CONIC[int(code)] = ConicCRS(
+        kind, lat1, lat2, lat0, lon0, false_easting, false_northing,
+        a=ell.a, e=ell.e,
+    )
+
+
 def _parse(crs: str):
     c = crs.lower().replace(" ", "")
     if not c.startswith("epsg:"):

@@ -413,6 +413,50 @@ class TestCRSWidening:
             assert np.abs(lon2 - lon).max() < 1e-7, code
             assert np.abs(lat2 - lat).max() < 1e-7, code
 
+    def test_register_custom_crs(self):
+        """Runtime CRS registration (register_tm_crs / register_conic_crs):
+        definition-point goldens, exact agreement with an equivalent
+        built-in code, and ftUS unit scaling with a clean roundtrip."""
+        from incubator_sedona_spark.functions.crs import (
+            register_conic_crs,
+            register_tm_crs,
+            transform_xy,
+        )
+
+        # a made-up private code with OSGB-like TM parameters: definition
+        # point must land on (FE, FN)
+        register_tm_crs(
+            909001, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+            false_easting=400000.0, false_northing=-100000.0,
+            ellipsoid="airy1830",
+        )
+        x, y = transform_xy(np.array([-2.0]), np.array([49.0]), "epsg:4326", "epsg:909001")
+        assert abs(x[0] - 400000.0) < 1e-6 and abs(y[0] + 100000.0) < 1e-6
+
+        # conic registration: Maryland parameters under a private code must
+        # reproduce the built-in 26985 exactly
+        register_conic_crs(
+            909002, "lcc", 38.3, 39.45, 37.666666666666664, -77.0,
+            400000.0, 0.0,
+        )
+        lon = np.array([-76.5, -77.3])
+        lat = np.array([39.0, 38.5])
+        x1, y1 = transform_xy(lon, lat, "epsg:4326", "epsg:909002")
+        x2, y2 = transform_xy(lon, lat, "epsg:4326", "epsg:26985")
+        assert np.allclose(x1, x2, atol=1e-9) and np.allclose(y1, y2, atol=1e-9)
+
+        # unit scaling: same TM in US survey feet
+        register_tm_crs(
+            909003, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+            false_easting=400000.0, false_northing=-100000.0,
+            ellipsoid="airy1830", unit=0.3048006096012192,
+        )
+        xf, yf = transform_xy(np.array([-2.0]), np.array([49.0]), "epsg:4326", "epsg:909003")
+        assert abs(xf[0] - 400000.0 / 0.3048006096012192) < 1e-5
+        # roundtrip through the ftUS form
+        lon2, lat2 = transform_xy(xf, yf, "epsg:909003", "epsg:4326")
+        assert abs(lon2[0] + 2.0) < 1e-9 and abs(lat2[0] - 49.0) < 1e-9
+
     def test_unknown_code_still_raises(self):
         from incubator_sedona_spark.functions.crs import transform_xy
 
