@@ -492,15 +492,24 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(38,10)")
+    # the sums are EXACT decimals on both engines; reducing them to 2
+    # decimals via FLOOR(x*100)/100 — still in exact decimal — before the
+    # double cast makes the hash compare scale-robust: at sf >= 0.1 the
+    # raw 1e10-magnitude sums differ between engines by 1 ulp of double in
+    # the decimal->double conversion (verified: 2820416243.73 vs
+    # ...7300005), and decimal ROUNDING is no better (Spark rounds
+    # half-up, DuckDB half-even — .xx5 halves are common in monetary
+    # sums).  floor on an exact decimal is rounding-mode-free.
+    d2 = lambda s: (F.floor(s * 100) / 100).cast("double")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double")
-            .alias("sum_disc_price"),
+            d2(F.sum(dec(F.col("l_quantity")))).alias("sum_qty"),
+            d2(F.sum(dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+            d2(
+                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1132,9 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
+                   CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,10))) * 100) / 100 AS DOUBLE) AS sum_qty,
+                   CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 100) / 100 AS DOUBLE) AS sum_base_price,
+                   CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) * 100) / 100 AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
