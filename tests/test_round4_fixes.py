@@ -137,6 +137,24 @@ class TestSaltedJoin:
         key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
         assert key(salted) == key(base)
 
+    def test_salt_composes_with_join_types(self, spark):
+        """salt + how=left_semi / existence give identical results to their
+        unsalted forms (the salt only subdivides the shuffle key; the
+        back-join on the persisted row id is untouched)."""
+        zones, pts = self._planted(spark)
+        grid = Grid(0.0, 0.0, 40.01, 40.01, 3)
+        for how, cols in [("left_semi", ["zid"]), ("existence", ["zid", "exists"])]:
+            base = spatial_join(
+                zones, pts, "contains", grid=grid, right_point_cols=("x", "y"),
+                how=how,
+            ).select(*cols).toPandas()
+            salted = spatial_join(
+                zones, pts, "contains", grid=grid, right_point_cols=("x", "y"),
+                how=how, salt=True, salt_min_rows=50, salt_factor=4,
+            ).select(*cols).toPandas()
+            key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+            assert key(salted) == key(base), how
+
     def test_distance_join_salted(self, spark):
         """distance_join takes the same salt option; output identical."""
         from incubator_sedona_spark.operators.joins import distance_join
