@@ -222,16 +222,18 @@ class TestComponentsIdGuard:
         assert list(got["component"]) == [1, 1, 1]
 
     def test_long_chain_converges_via_pointer_jumping(self, spark):
-        """A 1500-node path has diameter 1500 — plain label propagation
-        needs 1500 rounds (the pre-round-4 code raised at max_iter=50);
-        pointer jumping converges in O(log diameter)."""
+        """A 600-node path has diameter 600 — plain label propagation needs
+        600 rounds (the pre-round-4 code raised at max_iter=50); pointer
+        jumping converges in O(log diameter).  checkpoint_every=3 keeps the
+        per-round plan lineage short (the property being tested is the
+        round count, not lineage handling)."""
         from incubator_sedona_spark.pipeline.components import connected_components
 
-        n = 1500
+        n = 600
         edges = spark.createDataFrame(
             pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
         )
-        got = connected_components(edges, max_iter=25).toPandas()
+        got = connected_components(edges, max_iter=22, checkpoint_every=3).toPandas()
         assert len(got) == n
         assert set(got["component"]) == {0}
 
