@@ -139,13 +139,16 @@ def knn_join(
     from incubator_sedona_spark.pipeline.dedup import _pin
 
     if right_geom is not None:
-        # stable per-row id BEFORE the cell explode (monotonic ids are
-        # plan-nondeterministic, so pin the relation they're computed on);
-        # used to dedup multi-cell candidates within a round
-        rp_base = _pin(
-            with_bbox(right, right_geom).withColumn(
-                "__rid", F.monotonically_increasing_id()
-            )
+        # stable per-row id BEFORE the cell explode, used to dedup multi-cell
+        # candidates within a round.  monotonically_increasing_id is
+        # plan-nondeterministic and persist() is only a hint — cache eviction
+        # or executor loss would recompute partitions with different ids, so
+        # materialize the relation with an eager localCheckpoint (same
+        # guarantee components.py relies on) before any consumer sees it.
+        rp_base = (
+            with_bbox(right, right_geom)
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
         )
         rp = rp_base.withColumn(
             "__cell",

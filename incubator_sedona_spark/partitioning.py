@@ -75,6 +75,10 @@ def find_hot_cells(df: DataFrame, cell_col: str = "cell", top_k: int = 16, min_r
     return {r[cell_col]: int(r["count"]) for r in rows}
 
 
+#: column types xxhash64 cannot consume — excluded from the default salt hash
+_UNHASHABLE_PREFIXES = ("map<",)
+
+
 def salt_cells(
     df: DataFrame,
     hot: dict,
@@ -82,14 +86,22 @@ def salt_cells(
     cell_col: str = "cell",
     explode_side: bool = False,
     salt_col: str = "salt",
+    hash_cols: list[str] | None = None,
 ) -> DataFrame:
     """Salt hot cells into ``factor`` sub-keys; join both sides on
     ``[cell_col, salt_col]``.
 
     - probe side (``explode_side=False``): each row in a hot cell gets ONE
-      deterministic sub-key (hash of all columns mod factor).
+      deterministic sub-key — ``xxhash64`` of ``hash_cols`` (default: every
+      hashable column; MapType columns are skipped, they fail analysis under
+      xxhash64) mod ``factor``.
     - build side (``explode_side=True``): each row in a hot cell is replicated
       into ALL sub-keys, so every probe sub-key still meets every build row.
+
+    Limitation: rows that are fully identical on ``hash_cols`` land on the
+    same sub-key, so a hot cell dominated by exact-duplicate rows stays
+    skewed after salting.  Pass ``hash_cols`` naming a row-id column when the
+    table has one (the id spreads duplicates uniformly); or dedup first.
 
     Equivalent to joining on ``cell`` alone, but the hot cell's work spreads
     over ``factor`` reducers.  AQE's skew-join handles the same problem
@@ -105,9 +117,22 @@ def salt_cells(
             F.array(F.lit(0))
         )
         return df.withColumn(salt_col, F.explode(salts))
+    if hash_cols is None:
+        types = dict(df.dtypes)
+        # cell_col is constant within a hot cell, so it contributes nothing
+        # to spreading that cell's rows — exclude it from the default
+        hash_cols = [
+            c for c in df.columns
+            if c != cell_col and not types[c].startswith(_UNHASHABLE_PREFIXES)
+        ]
+    if not hash_cols:
+        raise ValueError(
+            "salt_cells: no hashable columns to derive the probe-side salt "
+            "from; pass hash_cols naming at least one non-map column"
+        )
     return df.withColumn(
         salt_col,
-        F.when(is_hot, F.pmod(F.xxhash64(*df.columns), F.lit(factor)))
+        F.when(is_hot, F.pmod(F.xxhash64(*hash_cols), F.lit(factor)))
         .otherwise(F.lit(0))
         .cast("int"),
     )

@@ -55,6 +55,11 @@ def _check_id_types(df: DataFrame, cols: tuple[str, ...]) -> None:
     loudly instead and tell the caller how to map ids to longs."""
     types = dict(df.dtypes)
     for c in cols:
+        if c not in types:
+            raise ValueError(
+                f"connected_components: column {c!r} not found; available "
+                f"columns: {sorted(types)}"
+            )
         if types[c] not in _INTEGRAL_ID_TYPES:
             raise TypeError(
                 f"connected_components id column {c!r} has type {types[c]!r}; "

@@ -639,18 +639,37 @@ def embedding_cosine_pairs_exact(
     # small n, but a scratch_dir the driver itself cannot list (or with zero
     # blocks after a non-empty write) means the write went somewhere the scan
     # won't find — fail here, not with silent zero pairs (round-3 ADVICE)
-    block_dirs = [
-        p
-        for p in (f"{scratch_dir}/__blk={b}" for b in range(blocks))
-        if _parquet_files_in(p)[0]
-    ]
-    if n > 0 and not block_dirs:
-        raise FileNotFoundError(
-            f"no GEMM blocks visible under scratch_dir={scratch_dir!r} after "
-            f"writing {n} rows — the driver cannot list the path it just "
-            "wrote; pass a scratch_dir on a filesystem both the driver and "
-            "every executor can read"
+    try:
+        block_dirs = [
+            p
+            for p in (f"{scratch_dir}/__blk={b}" for b in range(blocks))
+            if _parquet_files_in(p)[0]
+        ]
+    except Exception as exc:  # driver lacks credentials/scheme for the path
+        # On deployments where only executors hold filesystem credentials
+        # (common for s3://), the driver-side listing itself errors for a
+        # perfectly usable scratch path.  The authoritative gate stays the
+        # loud executor-side check in _load_gemm_block; degrade to a warning.
+        import warnings
+
+        warnings.warn(
+            f"driver cannot list scratch_dir={scratch_dir!r} ({exc}); "
+            "skipping the driver-side GEMM block existence check — the "
+            "executor-side load remains the authoritative gate",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        # dispatch every nominal block; the executor-side loud check in
+        # _load_gemm_block catches an unreadable scratch filesystem
+        block_dirs = [f"{scratch_dir}/__blk={b}" for b in range(blocks)]
+    else:
+        if n > 0 and not block_dirs:
+            raise FileNotFoundError(
+                f"no GEMM blocks visible under scratch_dir={scratch_dir!r} "
+                f"after writing {n} rows — the driver cannot list the path "
+                "it just wrote; pass a scratch_dir on a filesystem both the "
+                "driver and every executor can read"
+            )
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"

@@ -12,11 +12,12 @@ Codecs, in order of preference per format:
   inflate + scanline filters 0-4, bit depth 8, gray/RGB/RGBA) — no external
   dependency; cross-checked in tests against the JVM's javax.imageio.
   PIL is used instead when installed (faster C path).
-- ``JPEG`` : REAL baseline decoder implemented here from ITU-T T.81
-  (sources/jpeg.py: Huffman entropy decode, dequant, vectorized float IDCT,
-  fancy chroma upsample, YCbCr->RGB) — no external dependency; cross-checked
-  in tests against the JVM's javax.imageio.  PIL preferred when installed;
-  progressive/arithmetic streams raise NotImplementedError loudly.
+- ``JPEG`` : REAL baseline (SOF0/1) + progressive (SOF2) decoder
+  implemented here from ITU-T T.81 (sources/jpeg.py: Huffman entropy decode,
+  spectral-selection/successive-approximation scan accumulation, dequant,
+  vectorized float IDCT, fancy chroma upsample, YCbCr->RGB) — no external
+  dependency; cross-checked in tests against the JVM's javax.imageio.
+  PIL preferred when installed; arithmetic/CMYK streams raise loudly.
 - ``TIFF`` : tifffile or PIL when installed; NotImplementedError otherwise.
 - ``ISSI`` : the deterministic stand-in codec used by the synthetic corpus:
   ``png`` tag = zlib raw RGB (lossless), ``jpeg`` tag = 4-level uniform
@@ -90,8 +91,8 @@ def decode_image(buf: bytes) -> np.ndarray:
             import io
 
             return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
-        # real pure-numpy baseline decoder (T.81 sequential DCT); progressive
-        # and arithmetic streams still raise loudly inside
+        # real pure-numpy decoder (T.81 sequential + progressive DCT);
+        # arithmetic/CMYK streams still raise loudly inside
         from incubator_sedona_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(buf)

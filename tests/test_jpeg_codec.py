@@ -107,10 +107,99 @@ def test_jpeg_dispatched_from_decode_image(spark):
     assert IM.psnr(ours, jvm_pix) >= 40.0
 
 
-def test_jpeg_progressive_raises():
-    # a minimal stream with an SOF2 marker must gate loudly
-    buf = bytes([0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B, 8, 0, 16, 0, 16, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
+def _jvm_progressive_roundtrip(spark, pix, quality=None, gray=False):
+    """(progressive_jpeg_bytes, jvm_decoded_pixels) via ImageIO with
+    progressive mode MODE_DEFAULT (spectral selection + successive
+    approximation, DC+AC refinement scans)."""
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(IM.encode_png(pix)))
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    if gray:
+        g = jvm.java.awt.image.BufferedImage(bi.getWidth(), bi.getHeight(), 10)
+        g.getGraphics().drawImage(bi, 0, 0, None)
+        bi = g
+    baos = jvm.java.io.ByteArrayOutputStream()
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(1)  # MODE_DEFAULT
+    if quality is not None:
+        param.setCompressionMode(2)
+        param.setCompressionQuality(float(quality))
+    mos = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(mos)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    mos.flush()
+    jpeg = bytes(baos.toByteArray())
+    bais2 = jvm.java.io.ByteArrayInputStream(bytearray(jpeg))
+    dec = jvm.javax.imageio.ImageIO.read(bais2)
+    rgb = jvm.java.awt.image.BufferedImage(dec.getWidth(), dec.getHeight(), 1)
+    rgb.getGraphics().drawImage(dec, 0, 0, None)
+    baos2 = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(rgb, "png", baos2)
+    return jpeg, IM.decode_png(bytes(baos2.toByteArray()))
+
+
+def _has_sof2(jpeg: bytes) -> bool:
+    i = 2
+    while i < len(jpeg) - 1:
+        if jpeg[i] == 0xFF and jpeg[i + 1] == 0xC2:
+            return True
+        i += 1
+    return False
+
+
+def test_jpeg_progressive_rgb_cross_check(spark):
+    pix = _smooth(48, 64)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix)
+    assert _has_sof2(jpeg)  # the writer really produced a progressive stream
+    ours = decode_jpeg(jpeg)
+    assert ours.shape == (48, 64, 3)
+    assert IM.psnr(ours, jvm_pix) >= 40.0
+    assert IM.psnr(ours, pix) >= 30.0
+
+
+def test_jpeg_progressive_odd_dims_high_quality(spark):
+    pix = _smooth(29, 35, seed=3)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix, quality=0.95)
+    ours = decode_jpeg(jpeg)
+    assert ours.shape == (29, 35, 3)
+    assert IM.psnr(ours, jvm_pix) >= 40.0
+
+
+def test_jpeg_progressive_low_quality(spark):
+    # coarse quantization exercises EOB runs and sparse refinement scans
+    pix = _smooth(40, 40, seed=9)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix, quality=0.3)
+    assert IM.psnr(decode_jpeg(jpeg), jvm_pix) >= 40.0
+
+
+def test_jpeg_progressive_grayscale(spark):
+    pix = _smooth(32, 48, seed=5)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix, gray=True)
+    ours = decode_jpeg(jpeg)
+    assert ours.shape == (32, 48, 3)
+    assert IM.psnr(ours, jvm_pix) >= 40.0
+
+
+def test_jpeg_progressive_tiny(spark):
+    # single-MCU-column image: exercises band bookkeeping at the edge
+    pix = _smooth(9, 11, seed=7)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix)
+    assert IM.psnr(decode_jpeg(jpeg), jvm_pix) >= 40.0
+
+
+def test_jpeg_progressive_dispatched_from_decode_image(spark):
+    if IM._HAS_PIL:
+        pytest.skip("PIL present: decode_image dispatches to PIL")
+    pix = _smooth(24, 24, seed=2)
+    jpeg, jvm_pix = _jvm_progressive_roundtrip(spark, pix)
+    assert IM.psnr(IM.decode_image(jpeg), jvm_pix) >= 40.0
+
+
+def test_jpeg_lossless_sof3_still_raises():
+    # non-DCT SOF markers must still gate loudly
+    buf = bytes([0xFF, 0xD8, 0xFF, 0xC3, 0x00, 0x0B, 8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
         decode_jpeg(buf)
 
 
