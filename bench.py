@@ -111,6 +111,39 @@ def host_health_probe() -> dict:
     }
 
 
+def wait_for_clean_host(
+    max_wait_sec: float = 600.0, sleep_sec: float = 20.0, relax: float = 1.0
+) -> dict:
+    """Bounded retry until the host probe hits the clean-window reference
+    (BASELINE.md: md5 0.03-0.05 s, gemm 0.007-0.02 s).  Round-4 VERDICT
+    item 2: the official artifact should retry into a clean window rather
+    than rely on the reader to check embedded probes.  Returns the last
+    probe plus the retry history; proceeds after ``max_wait_sec`` regardless
+    (the probes still ship in the artifact, so a dirty run stays
+    self-labeling)."""
+    if os.environ.get("ISS_BENCH_NO_PREFLIGHT_WAIT") == "1":
+        p = host_health_probe()
+        return {**p, "clean": None, "waited_sec": 0.0, "attempts": 1}
+    t0 = time.time()
+    attempts = []
+    while True:
+        p = host_health_probe()
+        clean = (
+            p["py_md5_200k_sec"] < 0.05 * relax and p["gemm512_x6_sec"] < 0.03 * relax
+        )
+        attempts.append({"md5": p["py_md5_200k_sec"], "gemm": p["gemm512_x6_sec"]})
+        waited = time.time() - t0
+        if clean or waited >= max_wait_sec:
+            return {
+                **p,
+                "clean": clean,
+                "waited_sec": round(waited, 1),
+                "attempts": len(attempts),
+                "attempt_probes": attempts[-5:],
+            }
+        time.sleep(sleep_sec)
+
+
 BENCH_QUERIES = [
     "pip_join_pairs",
     "pip_join_salted",
@@ -139,54 +172,48 @@ BENCH_QUERIES = [
 ]
 
 
-def run_default(reps: int = 3):
-    """Per-query MEDIAN of ``reps`` timed runs, after an untimed warmup pass
-    that touches EVERY query (each query family spins up its own Python/Arrow
-    worker state; warming only one query leaves the others paying 10-30s of
-    cold start, which made the round-1 artifact swing 12x run-to-run)."""
+# queries whose sf0.1 min-of-3 sits near the 32-core noise floor (<~3 s):
+# these get a second, headline measurement at sf1 (10x rows) where plan
+# regressions can't hide under scheduling jitter (round-4 VERDICT item 3).
+# The text-dedup family (minhash/simhash/ngram/ppjoin/components) already
+# runs 4-10 s at sf0.1 and stays there — well above the floor.
+SF1_QUERIES = [
+    "pip_join_pairs",
+    "pip_join_salted",
+    "pip_count_by_zone",
+    "distance_join_pairs",
+    "knn_join",
+    "tile_assign",
+    "polygon_dedup_join",
+    "overlay_area",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "embed_dup_pairs",
+    "union_area",
+    "ann_topk",
+    "ann_ivf_exact",
+]
+
+
+def _time_suite(spark, qs, names, sf_dir, reps):
+    """(mins, medians, samples) per query: untimed warmup pass first, then
+    ``reps`` timed runs each.  min = headline (closest observable to plan
+    cost on this throttling host), medians+samples ship for transparency."""
     import statistics
 
-    # pin the sf tables in executor memory: the sandbox disk swings 4-12x
-    # run-to-run, and a suite that re-reads parquet measures the disk
-    os.environ["ISS_BENCH_CACHE"] = "1"
-    preflight = host_health_probe()
-    spark = get_spark(app_name="iss-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    import __spark_entry__ as E
     from incubator_sedona_spark.pipeline import dedup as _DD
 
-    imgs = _ensure_images(spark).persist()
-    n_images = imgs.count()  # generate + warm the cache outside the timed region
-    qs = E.queries()
-
-    # untimed warmup: every benched query once + the flagship pipeline
-    for name in BENCH_QUERIES:
-        qs[name](spark, SF_DIR).count()
-    flagship_images_pipeline(spark, imgs).count()
-
-    # flagship first, then DROP its 1 GB cache: the pinned image bytes
-    # otherwise pressure executor memory/page cache and inflate the small
-    # sf-query timings by 3-5x
-    fs = []
-    for _ in range(reps):
-        t0 = time.time()
-        flagship_images_pipeline(spark, imgs).count()
-        fs.append(time.time() - t0)
-    # headline estimator = MIN of reps: this host is a shared/oversubscribed
-    # VM whose cores throttle for minutes after sustained load, so medians
-    # still report the throttled state; the minimum is the closest observable
-    # to the plan's true cost.  Medians ship alongside for transparency.
-    flagship_sec = round(min(fs), 3)
-    flagship_med = round(statistics.median(fs), 3)
-    imgs.unpersist(blocking=True)
-
-    times: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    all_samples: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for name in names:  # untimed warmup: each family's Python/Arrow workers
+        qs[name](spark, sf_dir).count()
+        _DD.release_cached()
+    times, medians, all_samples = {}, {}, {}
+    for name in names:
         samples = []
         for _ in range(reps):
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
             # each rep builds a fresh plan; pins from the previous rep are
             # garbage — release so dedup-family reps don't accumulate cache
@@ -194,27 +221,114 @@ def run_default(reps: int = 3):
         times[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
-    times["flagship_join_tiling"] = flagship_sec
-    medians["flagship_join_tiling"] = flagship_med
-    all_samples["flagship_join_tiling"] = [round(s, 3) for s in fs]
+    return times, medians, all_samples
+
+
+def run_default(reps: int = 3):
+    """Headline = sf1 spatial-core suite + flagship; the full sf0.1 suite
+    runs alongside for round-over-round continuity.
+
+    Prints the COMPACT headline JSON as the LAST stdout line (driver-robust:
+    no sample arrays inline) and writes the full artifact — samples, medians,
+    probes, both suites — to bench_artifacts/bench_last_full.json."""
+    import statistics
+
+    # pin the sf tables in executor memory: the sandbox disk swings 4-12x
+    # run-to-run, and a suite that re-reads parquet measures the disk
+    os.environ["ISS_BENCH_CACHE"] = "1"
+    spark = get_spark(app_name="iss-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    import __spark_entry__ as E
+
+    from tools.gen_sf1 import ensure_sf1
+
+    # ALL data generation before the clean-host wait: generating the sf1
+    # tables / image corpus heats this throttling host for minutes, and the
+    # round-5 try-1 artifact showed a 5x flagship inflation from timing right
+    # after generation
+    sf1_dir = None
+    if os.environ.get("ISS_BENCH_SF1", "1") == "1":
+        sf1_dir = ensure_sf1()
+    imgs = _ensure_images(spark).persist()
+    n_images = imgs.count()  # generate + warm the cache outside the timed region
+    qs = E.queries()
+
+    preflight = wait_for_clean_host()
+
+    # flagship first (after its own warmup), then DROP its 1 GB cache: the
+    # pinned image bytes otherwise pressure executor memory/page cache and
+    # inflate the sf-query timings by 3-5x
+    flagship_images_pipeline(spark, imgs).count()
+    fs = []
+    for _ in range(reps):
+        t0 = time.time()
+        flagship_images_pipeline(spark, imgs).count()
+        fs.append(time.time() - t0)
+    flagship_sec = round(min(fs), 3)
+    flagship_med = round(statistics.median(fs), 3)
+    imgs.unpersist(blocking=True)
+
+    # the sf1 spatial core is the headline — run it in the cleanest window,
+    # before the sf0.1 continuity suite's heavy dedup family heats the host
+    if sf1_dir is not None:
+        times1, medians1, samples1 = _time_suite(spark, qs, SF1_QUERIES, sf1_dir, reps)
+    else:
+        times1, medians1, samples1 = {}, {}, {}
+
+    midflight = wait_for_clean_host(max_wait_sec=240.0, relax=1.5)
+    times01, medians01, samples01 = _time_suite(spark, qs, BENCH_QUERIES, SF_DIR, reps)
+    times01["flagship_join_tiling"] = flagship_sec
+    medians01["flagship_join_tiling"] = flagship_med
+    samples01["flagship_join_tiling"] = [round(s, 3) for s in fs]
 
     postflight = host_health_probe()
-    total = round(sum(times.values()), 3)
-    out = {
+    total01 = round(sum(times01.values()), 3)
+    total1 = round(sum(times1.values()), 3) if times1 else None
+    protocol = (
+        "min_of_%d_after_full_warmup; headline=sf1 spatial core + flagship, "
+        "sf0.1 full suite for continuity; clean-host preflight retry; "
+        "full samples in sidecar" % reps
+    )
+    full = {
         "metric": "spatial_join_tiling_suite",
-        "value": total,
+        "value": total1 if total1 is not None else total01,
         "unit": "sec",
-        "queries": times,
-        "queries_median": medians,
-        "queries_samples": all_samples,
+        "sf": sf1_dir or SF_DIR,
+        "queries": times1 or times01,
+        "queries_median_sf1": medians1,
+        "queries_samples_sf1": samples1,
+        "value_sf01": total01,
+        "sf01_dir": SF_DIR,
+        "queries_sf01": times01,
+        "queries_median_sf01": medians01,
+        "queries_samples_sf01": samples01,
         "host_probe_before": preflight,
+        "host_probe_mid": midflight,
         "host_probe_after": postflight,
-        "sf": SF_DIR,
         "images_per_sec": round(n_images / flagship_sec, 1) if flagship_sec else None,
         "cpus": CPUS,
-        "protocol": "min_of_%d_after_full_warmup (medians+samples alongside; host probe embedded)" % reps,
+        "protocol": protocol,
     }
-    print(json.dumps(out))
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_artifacts", "bench_last_full.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        sidecar = None
+    compact = {
+        k: v
+        for k, v in full.items()
+        if not k.startswith("queries_samples") and not k.startswith("queries_median")
+    }
+    compact["host_probe_before"] = {
+        k: preflight[k] for k in ("gemm512_x6_sec", "py_md5_200k_sec", "clean", "waited_sec") if k in preflight
+    }
+    compact["sidecar"] = sidecar
+    # the driver parses the LAST stdout line; flush everything above first
+    sys.stdout.flush()
+    print(json.dumps(compact))
     spark.stop()
 
 

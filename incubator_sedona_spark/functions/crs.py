@@ -25,6 +25,12 @@ Krueger-series Transverse Mercator, accurate to sub-millimeter within a zone):
 - ``epsg:258NN``     — ETRS89 / UTM zones 28-38 north
 - ``epsg:269NN``     — NAD83 / UTM zones 1-23 north
 - ``epsg:26985``     — NAD83 / Maryland state plane (LCC 2SP, meters)
+- plus the bulk batches in crs_tables.py (~340 codes total): WGS72 UTM
+  N+S (322NN/323NN), GDA94/GDA2020 MGA zones, French RGF93 CC42-50 and
+  legacy NTF Lambert I-III (LCC 1SP + datum), ETRS89 LCC/LAEA Europe
+  (3034/3035), SWEREF99 TM, TM35FIN, Poland CS92/CS2000, Irish TM,
+  California state planes 1-6 — each batch validated by definition-point
+  goldens in tests
 
 LCC 2SP and Albers follow Snyder (1987) eqs 15-1..15-11 / 14-1..14-21 on the
 per-CRS ellipsoid (GRS80 for the NAD83/RGF93 codes).  NAD83/RGF93 lon/lat is
@@ -133,29 +139,44 @@ _GRS80_E = np.sqrt(1.0 - (6356752.314140356 / 6378137.0) ** 2)
 
 
 class ConicCRS:
-    """Parameters of a 2-standard-parallel conic projection (LCC or Albers)."""
+    """Parameters of a conic projection (LCC or Albers).
+
+    2SP when lat1 != lat2; passing lat1 == lat2 selects the 1SP limit
+    (n = sin(lat1)) with the published scale factor ``k0`` — the EPSG
+    "Lambert Conic Conformal (1SP)" method (9801), e.g. the French legacy
+    Lambert zones.  ``datum``/``unit`` mirror TMCRS (Helmert shift from
+    WGS84; meters per output unit)."""
 
     __slots__ = ("kind", "a", "e", "lat1", "lat2", "lat0", "lon0", "fe", "fn",
-                 "n", "big_f", "rho0", "big_c")
+                 "n", "big_f", "rho0", "big_c", "k0", "unit", "datum")
 
-    def __init__(self, kind, lat1, lat2, lat0, lon0, fe, fn, a=_GRS80_A, e=_GRS80_E):
+    def __init__(self, kind, lat1, lat2, lat0, lon0, fe, fn, a=_GRS80_A, e=_GRS80_E,
+                 k0=1.0, unit=1.0, datum=None):
         self.kind, self.a, self.e = kind, a, e
         self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
         self.fe, self.fn = fe, fn
+        self.k0, self.unit, self.datum = k0, unit, datum
         p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        ak = self.a * self.k0
         if kind == "lcc":
             m1, m2 = self._m(p1), self._m(p2)
             t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
-            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+            if lat1 == lat2:  # 1SP limit (Snyder 15-17 with k0)
+                self.n = np.sin(p1)
+            else:
+                self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
             self.big_f = m1 / (self.n * t1**self.n)
-            self.rho0 = self.a * self.big_f * t0**self.n
+            self.rho0 = ak * self.big_f * t0**self.n
             self.big_c = None
         else:  # albers
             m1, m2 = self._m(p1), self._m(p2)
             q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
-            self.n = (m1**2 - m2**2) / (q2 - q1)
+            if lat1 == lat2:
+                self.n = np.sin(p1)
+            else:
+                self.n = (m1**2 - m2**2) / (q2 - q1)
             self.big_c = m1**2 + self.n * q1
-            self.rho0 = self.a * np.sqrt(self.big_c - self.n * q0) / self.n
+            self.rho0 = ak * np.sqrt(self.big_c - self.n * q0) / self.n
             self.big_f = None
 
     def _m(self, phi):
@@ -172,41 +193,51 @@ class ConicCRS:
             s / (1 - es**2) - np.log((1 - es) / (1 + es)) / (2 * self.e)
         )
 
-    # forward/inverse take degree arrays, return meters (and vice versa)
+    # forward/inverse take degree arrays, return output units (and vice versa)
     def forward(self, lon_deg, lat_deg):
+        if self.datum is not None:
+            lon_deg, lat_deg = self.datum.from_wgs84(lon_deg, lat_deg)
         lam = np.radians(np.asarray(lon_deg, np.float64) - self.lon0)
         phi = np.radians(np.asarray(lat_deg, np.float64))
         theta = self.n * lam
+        ak = self.a * self.k0
         if self.kind == "lcc":
-            rho = self.a * self.big_f * self._t(phi) ** self.n
+            rho = ak * self.big_f * self._t(phi) ** self.n
         else:
-            rho = self.a * np.sqrt(self.big_c - self.n * self._q(phi)) / self.n
-        return self.fe + rho * np.sin(theta), self.fn + self.rho0 - rho * np.cos(theta)
+            rho = ak * np.sqrt(self.big_c - self.n * self._q(phi)) / self.n
+        return (
+            (self.fe + rho * np.sin(theta)) / self.unit,
+            (self.fn + self.rho0 - rho * np.cos(theta)) / self.unit,
+        )
 
     def inverse(self, x, y):
-        dx = np.asarray(x, np.float64) - self.fe
-        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        dx = np.asarray(x, np.float64) * self.unit - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) * self.unit - self.fn)
         sgn = np.sign(self.n) or 1.0
         rho = sgn * np.sqrt(dx * dx + dy * dy)
         theta = np.arctan2(sgn * dx, sgn * dy)
         lon = self.lon0 + np.degrees(theta / self.n)
+        ak = self.a * self.k0
         if self.kind == "lcc":
-            tp = (rho / (self.a * self.big_f)) ** (1.0 / self.n)
+            tp = (rho / (ak * self.big_f)) ** (1.0 / self.n)
             phi = np.pi / 2 - 2 * np.arctan(tp)
             for _ in range(8):
                 es = self.e * np.sin(phi)
                 phi = np.pi / 2 - 2 * np.arctan(tp * ((1 - es) / (1 + es)) ** (self.e / 2))
-            return lon, np.degrees(phi)
-        q = (self.big_c - (rho * self.n / self.a) ** 2) / self.n
-        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-        e2 = self.e**2
-        for _ in range(10):  # Snyder eq 3-16
-            s = np.sin(phi)
-            es = self.e * s
-            phi = phi + (1 - es**2) ** 2 / (2 * np.cos(phi) * (1 - e2)) * (
-                q / (1 - e2) - s / (1 - es**2) + np.log((1 - es) / (1 + es)) / (2 * self.e)
-            )
-        return lon, np.degrees(phi)
+        else:
+            q = (self.big_c - (rho * self.n / ak) ** 2) / self.n
+            phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+            e2 = self.e**2
+            for _ in range(10):  # Snyder eq 3-16
+                s = np.sin(phi)
+                es = self.e * s
+                phi = phi + (1 - es**2) ** 2 / (2 * np.cos(phi) * (1 - e2)) * (
+                    q / (1 - e2) - s / (1 - es**2) + np.log((1 - es) / (1 + es)) / (2 * self.e)
+                )
+        lat = np.degrees(phi)
+        if self.datum is not None:
+            lon, lat = self.datum.to_wgs84(lon, lat)
+        return lon, lat
 
 
 # Registry of conic CRSs: (kind, lat1, lat2, lat0, lon0, FE, FN) — EPSG
@@ -465,6 +496,80 @@ class PolarCRS:
         return lon, lat
 
 
+class LAEACRS:
+    """Lambert azimuthal equal-area, ellipsoidal oblique aspect (Snyder 1987
+    eqs 3-11/3-12, 24-2..24-16; EPSG method 9820) — EPSG 3035 ETRS89 / LAEA
+    Europe is the EU's standard statistical grid."""
+
+    __slots__ = ("a", "e", "lat0", "lon0", "fe", "fn", "qp", "beta0", "rq", "d")
+
+    def __init__(self, lat0, lon0, fe, fn, a=_GRS80_A, e=_GRS80_E):
+        self.a, self.e = a, e
+        self.lat0, self.lon0, self.fe, self.fn = lat0, lon0, fe, fn
+        p0 = np.radians(lat0)
+        self.qp = self._q(np.pi / 2)
+        self.beta0 = np.arcsin(self._q(p0) / self.qp)
+        self.rq = a * np.sqrt(self.qp / 2.0)
+        m0 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
+        self.d = a * m0 / (self.rq * np.cos(self.beta0))
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        es = self.e * s
+        return (1 - self.e**2) * (
+            s / (1 - es**2) - np.log((1 - es) / (1 + es)) / (2 * self.e)
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat_deg, np.float64))
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        b = self.rq * np.sqrt(
+            2.0
+            / (1 + np.sin(self.beta0) * np.sin(beta)
+               + np.cos(self.beta0) * np.cos(beta) * np.cos(lam))
+        )
+        x = b * self.d * np.cos(beta) * np.sin(lam)
+        y = (b / self.d) * (
+            np.cos(self.beta0) * np.sin(beta)
+            - np.sin(self.beta0) * np.cos(beta) * np.cos(lam)
+        )
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        xs = (np.asarray(x, np.float64) - self.fe) / self.d
+        ys = (np.asarray(y, np.float64) - self.fn) * self.d
+        rho = np.sqrt(xs * xs + ys * ys)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = self.qp * (
+                np.cos(ce) * np.sin(self.beta0)
+                + ys * np.sin(ce) * np.cos(self.beta0) / rho
+            )
+            lam = np.arctan2(
+                xs * np.sin(ce),
+                rho * np.cos(self.beta0) * np.cos(ce)
+                - ys * np.sin(self.beta0) * np.sin(ce),
+            )
+        q = np.where(rho == 0.0, self.qp * np.sin(np.radians(self.lat0)), q)
+        lam = np.where(rho == 0.0, 0.0, lam)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e2 = self.e**2
+        for _ in range(10):  # Snyder eq 3-16
+            s = np.sin(phi)
+            es = self.e * s
+            phi = phi + (1 - es**2) ** 2 / (2 * np.cos(phi) * (1 - e2)) * (
+                q / (1 - e2) - s / (1 - es**2) + np.log((1 - es) / (1 + es)) / (2 * self.e)
+            )
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+_LAEA: dict[int, LAEACRS] = {
+    # ETRS89-extended / LAEA Europe (EPSG 3035)
+    3035: LAEACRS(52.0, 10.0, 4321000.0, 3210000.0),
+}
+
+
 _POLAR = {
     3031: PolarCRS(lat_ts=-71.0, lon0=0.0, south=True),    # WGS84 Antarctic PS
     3413: PolarCRS(lat_ts=70.0, lon0=-45.0),               # NSIDC Arctic PS
@@ -524,15 +629,20 @@ def register_conic_crs(
     false_easting: float,
     false_northing: float,
     ellipsoid: str = "GRS80",
+    k0: float = 1.0,
+    unit: float = 1.0,
+    helmert: tuple | None = None,
 ) -> None:
-    """Register a 2-standard-parallel conic CRS (``kind`` = "lcc" or
-    "albers") under ``epsg:<code>`` at runtime — see register_tm_crs."""
+    """Register a conic CRS (``kind`` = "lcc" or "albers") under
+    ``epsg:<code>`` at runtime — see register_tm_crs.  ``lat1 == lat2``
+    selects the 1SP form with scale factor ``k0`` (EPSG method 9801)."""
     if kind not in ("lcc", "albers"):
         raise ValueError(f"kind must be 'lcc' or 'albers', got {kind!r}")
     ell = ELLIPSOIDS[ellipsoid]
+    datum = Helmert(*helmert, ell) if helmert is not None else None
     _CONIC[int(code)] = ConicCRS(
         kind, lat1, lat2, lat0, lon0, false_easting, false_northing,
-        a=ell.a, e=ell.e,
+        a=ell.a, e=ell.e, k0=k0, unit=unit, datum=datum,
     )
 
 
@@ -555,10 +665,14 @@ def _parse(crs: str):
         return ("polar", code)
     if code in _TM:
         return ("tm", code)
+    if code in _LAEA:
+        return ("laea", code)
     raise ValueError(
         f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN, "
         f"conic {sorted(_CONIC)}, polar {sorted(_POLAR)}, "
-        f"tm-grid {sorted(_TM)})"
+        f"laea {sorted(_LAEA)}, tm-grid {sorted(_TM)}; any other code is "
+        "one register_tm_crs/register_conic_crs call with its published "
+        "EPSG parameters)"
     )
 
 
@@ -575,6 +689,8 @@ def transform_xy(x, y, src: str, dst: str):
         lon, lat = _POLAR[s[1]].inverse(x, y)
     elif s[0] == "tm":
         lon, lat = _TM[s[1]].inverse(x, y)
+    elif s[0] == "laea":
+        lon, lat = _LAEA[s[1]].inverse(x, y)
     else:
         lon, lat = tm_inverse(x, y, utm_zone_lon0(s[1]), _K0_UTM, _FE_UTM, s[2])
     if d[0] == "geo":
@@ -587,6 +703,8 @@ def transform_xy(x, y, src: str, dst: str):
         return _POLAR[d[1]].forward(lon, lat)
     if d[0] == "tm":
         return _TM[d[1]].forward(lon, lat)
+    if d[0] == "laea":
+        return _LAEA[d[1]].forward(lon, lat)
     return tm_forward(lon, lat, utm_zone_lon0(d[1]), _K0_UTM, _FE_UTM, d[2])
 
 
@@ -613,3 +731,9 @@ def st_transform(wkb_col: Column, src: str, dst: str) -> Column:
         return pd.Series([W.dumps(_transform_geometry(W.loads(b), src, dst)) for b in s])
 
     return _f(wkb_col)
+
+
+# -- bulk EPSG batches (published parameter sets; see crs_tables.py) -----------
+from incubator_sedona_spark.functions import crs_tables as _crs_tables  # noqa: E402
+
+_crs_tables.load_builtin_batches(register_tm_crs, register_conic_crs, ELLIPSOIDS)

@@ -116,9 +116,14 @@ def knn_join(
     found; the border-distance termination bound is therefore still exact
     (an unfound geometry lies wholly outside the searched square, farther
     than the border).  Distance is the kernel's point-to-geometry distance
-    (0 inside); multi-cell candidates are deduplicated per round before
-    ranking.  Default (None): both sides are points via x/y columns, fully
-    native plan.
+    (0 inside).  Multi-cell candidates are deduplicated by the engine's
+    OWNER-CELL rule (the join's reference-point dedup re-expressed for
+    ring queries): the candidate rows for a (point, geometry) pair are
+    exactly the cells of (geometry bbox cover) INTERSECT (ring square) — a
+    non-empty rectangle — and only the row at the rectangle's min corner
+    survives.  A pure filter: no per-round dropDuplicates shuffle, and no
+    synthetic row id to keep stable (round-4 ADVICE).  Default (None): both
+    sides are points via x/y columns, fully native plan.
     """
     lp = left.select(
         F.col(left_id),
@@ -139,26 +144,29 @@ def knn_join(
     from incubator_sedona_spark.pipeline.dedup import _pin
 
     if right_geom is not None:
-        # stable per-row id BEFORE the cell explode, used to dedup multi-cell
-        # candidates within a round.  monotonically_increasing_id is
-        # plan-nondeterministic and persist() is only a hint — cache eviction
-        # or executor loss would recompute partitions with different ids, so
-        # materialize the relation with an eager localCheckpoint (same
-        # guarantee components.py relies on) before any consumer sees it.
-        rp_base = (
-            with_bbox(right, right_geom)
-            .withColumn("__rid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
+        # keep the bbox's min-corner cell indices alongside the explode:
+        # they define the owner cell for the shuffle-free dedup below
+        def _cidx(c, lo, w):
+            return (
+                F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(w))))
+                .cast("long")
+            )
+
+        rp_bb = with_bbox(right, right_geom)
+        rp = (
+            rp_bb.withColumn("__gx0", _cidx(F.col("xmin"), grid.minx, grid.cw))
+            .withColumn("__gy0", _cidx(F.col("ymin"), grid.miny, grid.ch))
+            .withColumn(
+                "__cell",
+                F.explode(
+                    grid.cover_bbox_col(
+                        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+                    )
+                ),
+            )
+            .drop("xmin", "ymin", "xmax", "ymax")
         )
-        rp = rp_base.withColumn(
-            "__cell",
-            F.explode(
-                grid.cover_bbox_col(
-                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-                )
-            ),
-        ).drop("xmin", "ymin", "xmax", "ymax")
-        rp_cross = rp_base.drop("xmin", "ymin", "xmax", "ymax")
+        rp_cross = right
     else:
         rp = right.select(
             *[F.col(c) for c in right.columns],
@@ -220,8 +228,14 @@ def knn_join(
             cand = pending.withColumn("__cell", F.explode(cells)).join(rp, "__cell")
         if right_geom is not None:
             if kind_r != "cross":
-                # a geometry covering c cells inside the ring appears c times
-                cand = cand.dropDuplicates([left_id, "__rid"])
+                # owner-cell dedup (pure filter, no shuffle): the candidate
+                # rows for one (point, geometry) pair are the cells of
+                # cover(bbox) INTERSECT ring — keep the min corner only
+                own_x = F.greatest(F.col("__gx0"), F.greatest(F.lit(0), F.col("__ix") - R))
+                own_y = F.greatest(F.col("__gy0"), F.greatest(F.lit(0), F.col("__iy") - R))
+                ccx = F.shiftright(F.col("__cell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+                ccy = F.col("__cell").bitwiseAND(F.lit((1 << 29) - 1))
+                cand = cand.where((ccx == own_x) & (ccy == own_y))
             cand = cand.withColumn(
                 dist_col,
                 _geom_points_dist_udf(
@@ -277,7 +291,7 @@ def knn_join(
             done_rows = topk.join(done_ids, left_id, "left_semi")
             pending_next = _pin(pending.join(done_ids, left_id, "left_anti"))
 
-        done_rows = done_rows.drop("__cell", "__ix", "__iy", "__rid")
+        done_rows = done_rows.drop("__cell", "__ix", "__iy", "__gx0", "__gy0")
         results = done_rows if results is None else results.unionByName(done_rows)
         if pending_next is None or pending_next.count() == 0:
             break

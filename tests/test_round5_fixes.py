@@ -2,9 +2,11 @@
 
 1. jpeg.py — 4-component (CMYK/YCCK) baseline streams and Adobe APP14
    transform=0 RGB streams must fail loud, not decode with wrong colors.
-2. knn.py — right_geom stable ids come from an eager localCheckpoint (the
-   persist-only pin was not a determinism guarantee); behavior covered by
-   the existing brute-force-equality tests, plan hygiene asserted here.
+2. knn.py — right_geom mode no longer derives a synthetic row id at all:
+   the owner-cell rule dedups multi-cell candidates with a pure filter
+   (no per-round dropDuplicates shuffle, nothing plan-nondeterministic to
+   stabilize).  Correctness via the existing brute-force-equality tests;
+   the no-extra-Exchange property asserted here.
 3. partitioning.salt_cells — probe-side salt hashes a configurable key
    subset; MapType columns no longer break analysis by default.
 4. pipeline.components — misspelled id columns raise a descriptive
@@ -69,6 +71,38 @@ def test_jpeg_app14_transform1_still_decodes(spark):
     spliced = jpg[:2] + app14 + jpg[2:]
     out = decode_jpeg(spliced)
     assert out.shape == ref.shape
+
+
+def test_knn_join_geometry_mode_no_dedup_shuffle(spark):
+    """right_geom candidates dedup via the owner-cell filter: the plan must
+    contain no Deduplicate operator (a per-round exchange at scale) and no
+    synthetic __rid column."""
+    from incubator_sedona_spark.cells import Grid
+    from incubator_sedona_spark.functions.st import st_polygon_from_envelope
+    from incubator_sedona_spark.operators.knn import knn_join
+
+    pts = spark.range(40).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.col("id") * 37, 100) / 1.0).alias("x"),
+        (F.pmod(F.col("id") * 61, 100) / 1.0).alias("y"),
+    )
+    polys = spark.range(12).select(
+        F.col("id").alias("gid"),
+        st_polygon_from_envelope(
+            F.pmod(F.col("id") * 17, 80) / 1.0,
+            F.pmod(F.col("id") * 29, 80) / 1.0,
+            F.pmod(F.col("id") * 17, 80) / 1.0 + 15.0,
+            F.pmod(F.col("id") * 29, 80) / 1.0 + 15.0,
+        ).alias("wkb"),
+    )
+    grid = Grid(0.0, 0.0, 100.01, 100.01, 3)
+    out = knn_join(pts, polys, k=3, grid=grid, left_id="pid", right_geom="wkb")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan
+    assert "__rid" not in plan
+    assert out.count() == 40 * 3
+    # each (pid, gid) pair at most once — the owner-cell rule really dedups
+    assert out.groupBy("pid", "gid").count().where(F.col("count") > 1).count() == 0
 
 
 def test_salt_cells_map_column_does_not_break_analysis(spark):

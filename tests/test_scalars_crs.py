@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from incubator_sedona_spark.functions import scalars as S
+from incubator_sedona_spark.functions import crs as CRS
 from incubator_sedona_spark.functions.crs import _CONIC, transform_xy
 from incubator_sedona_spark.geom import wkb as W
 
@@ -562,3 +563,108 @@ def test_crs_roundtrip_property(code, fx, fy):
     x, y = transform_xy([lon], [lat], "epsg:4326", code)
     lon2, lat2 = transform_xy(x, y, code, "epsg:4326")
     assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8, code
+
+
+# -- round 5: bulk EPSG batches (crs_tables.py) --------------------------------
+
+
+class TestBulkEpsgBatches:
+    """Definition-point goldens per family batch: forward(lon0, lat0) must
+    land exactly on (FE, FN) — catches transcription errors in the
+    parameter tables; roundtrip fuzz catches formula wiring errors."""
+
+    DEF_POINTS = [
+        # (code, lon0, lat0, FE, FN) — null-datum batches
+        (3035, 10.0, 52.0, 4321000.0, 3210000.0),   # LAEA Europe
+        (3034, 10.0, 52.0, 4000000.0, 2800000.0),   # LCC Europe
+        (3006, 15.0, 0.0, 500000.0, 0.0),           # SWEREF99 TM
+        (3067, 27.0, 0.0, 500000.0, 0.0),           # TM35FIN
+        (2180, 19.0, 0.0, 500000.0, -5300000.0),    # Poland CS92
+        (2177, 18.0, 0.0, 6500000.0, 0.0),          # Poland CS2000/6
+        (2157, -8.0, 53.5, 600000.0, 750000.0),     # Irish TM
+        (3942, 3.0, 42.0, 1700000.0, 1200000.0),    # RGF93 CC42
+        (3950, 3.0, 50.0, 1700000.0, 9200000.0),    # RGF93 CC50
+        (26941, -122.0, 39.0 + 20.0 / 60.0, 2000000.0, 500000.0),  # CA zone 1
+        (26946, -116.25, 32.0 + 10.0 / 60.0, 2000000.0, 500000.0),  # CA zone 6
+        (28348, 105.0, 0.0, 500000.0, 10000000.0),  # MGA94 zone 48
+        (7850, 117.0, 0.0, 500000.0, 10000000.0),   # MGA2020 zone 50
+    ]
+
+    def test_definition_points(self):
+        for code, lon0, lat0, fe, fn in self.DEF_POINTS:
+            x, y = CRS.transform_xy(
+                np.array([lon0]), np.array([lat0]), "epsg:4326", f"epsg:{code}"
+            )
+            assert abs(float(x[0]) - fe) < 1e-4, (code, float(x[0]))
+            assert abs(float(y[0]) - fn) < 1e-4, (code, float(y[0]))
+
+    def test_ntf_lambert_definition_points_through_datum(self):
+        # datum'd batch: the definition point is in NTF lon/lat — route it
+        # through the registered Helmert and expect (FE, FN) exactly
+        for code, lat0, fn in [(27571, 49.5, 1200000.0), (27572, 46.8, 2200000.0),
+                               (27573, 44.1, 3200000.0)]:
+            c = CRS._CONIC[code]
+            lon_w, lat_w = c.datum.to_wgs84(np.array([c.lon0]), np.array([lat0]))
+            x, y = c.forward(lon_w, lat_w)
+            assert abs(float(x[0]) - 600000.0) < 1e-3, code
+            assert abs(float(y[0]) - fn) < 1e-3, code
+
+    def test_paris_in_lambert_ii(self):
+        # well-known landmark: central Paris sits at ~(601 km, 2429 km) in
+        # NTF / Lambert zone II (carto) — a 10 km box catches any datum or
+        # parameter confusion while tolerating the single-Helmert ~2 m error
+        x, y = CRS.transform_xy(
+            np.array([2.3522]), np.array([48.8566]), "epsg:4326", "epsg:27572"
+        )
+        assert abs(float(x[0]) - 601000.0) < 5000.0
+        assert abs(float(y[0]) - 2429000.0) < 5000.0
+
+    def test_wgs72_utm_close_to_wgs84_utm(self):
+        # the WGS72->WGS84 shift is metres-scale; a degrees-scale error would
+        # mean the datum signs are wrong
+        x84, y84 = CRS.transform_xy(np.array([3.0]), np.array([50.0]), "epsg:4326", "epsg:32631")
+        x72, y72 = CRS.transform_xy(np.array([3.0]), np.array([50.0]), "epsg:4326", "epsg:32231")
+        d = float(np.hypot(x84 - x72, y84 - y72))
+        assert 0.5 < d < 40.0, d
+
+    def test_laea_preserves_area(self):
+        # 3035 is EQUAL-AREA: a lat/lon-aligned cell's projected planar area
+        # must match the exact ellipsoidal area between its parallels and
+        # meridians, A = a^2 * dlam * (q(lat2) - q(lat1)) / 2 (Snyder's q)
+        lons = np.array([10.0, 11.0, 11.0, 10.0, 10.0])
+        lats = np.array([50.0, 50.0, 51.0, 51.0, 50.0])
+        dl, dt = [], []
+        for i in range(4):
+            dl.extend(np.linspace(lons[i], lons[i + 1], 400, endpoint=False))
+            dt.extend(np.linspace(lats[i], lats[i + 1], 400, endpoint=False))
+        x, y = CRS.transform_xy(np.array(dl), np.array(dt), "epsg:4326", "epsg:3035")
+        planar = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        c = CRS._LAEA[3035]
+        truth = (
+            c.a**2 * np.radians(1.0)
+            * (c._q(np.radians(51.0)) - c._q(np.radians(50.0))) / 2.0
+        )
+        assert abs(planar - truth) / truth < 1e-4, (planar, truth)
+
+    def test_roundtrips_all_batches(self):
+        rng = np.random.RandomState(7)
+        zones = [
+            (3035, -8, 28, 36, 68), (3034, -8, 28, 36, 68),
+            (3006, 12, 19, 56, 68), (3067, 22, 31, 60, 70),
+            (2180, 15, 24, 49, 54), (2157, -10, -6, 51.5, 55.5),
+            (3946, 1, 6, 45, 47), (26944, -121, -118, 35, 37),
+            (27572, -2, 7, 45.5, 48.5), (32231, 0, 6, 0, 70),
+            (32331, 0, 6, -70, 0), (28354, 138, 144, -44, -10),
+            (7852, 126, 132, -36, -12),
+        ]
+        for code, lo, hi, la, ha in zones:
+            lon = rng.uniform(lo, hi, 100)
+            lat = rng.uniform(la, ha, 100)
+            x, y = CRS.transform_xy(lon, lat, "epsg:4326", f"epsg:{code}")
+            lon2, lat2 = CRS.transform_xy(x, y, f"epsg:{code}", "epsg:4326")
+            err = np.max(np.abs(lon2 - lon) + np.abs(lat2 - lat))
+            assert err < 1e-8, (code, err)
+
+    def test_unknown_code_still_loud(self):
+        with pytest.raises(ValueError, match="unsupported CRS"):
+            CRS.transform_xy(np.array([0.0]), np.array([0.0]), "epsg:4326", "epsg:9999")
