@@ -478,12 +478,33 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.select("s_suppkey", "x", "y"),
         cust.select("c_custkey", "x", "y"),
         3,
-        GRID_PTS,
+        None,  # auto grid: level sized from right-side density (scale-safe)
         left_id="s_suppkey",
         tiebreak="c_custkey",
     )
     return j.select(
         "s_suppkey", "c_custkey", F.col("knn_rank").cast("int").alias("knn_rank")
+    )
+
+
+def q_knn_join_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join with ARBITRARY right geometries (round-5: the owner-cell
+    dedup path): each supplier point finds its 2 nearest nation zones by
+    point-to-polygon distance (0 inside).  The zones are axis-aligned
+    rectangles, so DuckDB expresses the exact distance in closed form."""
+    supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    j = knn_join(
+        supp.select("s_suppkey", "x", "y"),
+        zones.select("n_nationkey", "wkb"),
+        2,
+        None,  # auto grid
+        left_id="s_suppkey",
+        tiebreak="n_nationkey",
+        right_geom="wkb",
+    )
+    return j.select(
+        "s_suppkey", "n_nationkey", F.col("knn_rank").cast("int").alias("knn_rank")
     )
 
 
@@ -934,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_area": q_build_area,
         "envelope_aggr": q_envelope_aggr,
         "knn_join": q_knn_join,
+        "knn_join_geom": q_knn_join_geom,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
         "events_daily": q_events_daily,
@@ -1138,6 +1160,20 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT s_suppkey, {lon_s} AS x, {lat_s} AS y FROM supplier) s
               CROSS JOIN (SELECT c_custkey, {lon_c} AS x, {lat_c} AS y FROM customer) c
             ) WHERE rn <= 3
+        """,
+        "knn_join_geom": f"""
+            SELECT s_suppkey, n_nationkey, CAST(rn AS INTEGER) AS knn_rank FROM (
+              SELECT s.s_suppkey, z.n_nationkey,
+                     row_number() OVER (
+                       PARTITION BY s.s_suppkey
+                       ORDER BY sqrt(
+                         greatest(z.zxmin - s.x, s.x - z.zxmax, 0) * greatest(z.zxmin - s.x, s.x - z.zxmax, 0)
+                         + greatest(z.zymin - s.y, s.y - z.zymax, 0) * greatest(z.zymin - s.y, s.y - z.zymax, 0)
+                       ), z.n_nationkey
+                     ) AS rn
+              FROM (SELECT s_suppkey, {lon_s} AS x, {lat_s} AS y FROM supplier) s
+              CROSS JOIN ({zones16}) z
+            ) WHERE rn <= 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

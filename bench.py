@@ -103,12 +103,37 @@ def host_health_probe() -> dict:
     except OSError:
         pass
     disk_sec = round(time.time() - t0, 4)
+
+    # ALL-CORE probe: 16 concurrent md5 loops.  Round-4 VERDICT: "this VM's
+    # ALL-CORE capacity varies beyond what a single-thread probe can see" —
+    # the round-5 try-2 artifact proved it (single-thread probes clean while
+    # the 32-core suite ran 3-17x slow).
+    allcore_sec = None
+    try:
+        from multiprocessing import Pool
+
+        with Pool(16) as p:
+            t0 = time.time()
+            p.map(_allcore_work, range(16))
+            allcore_sec = round(time.time() - t0, 4)
+    except Exception:
+        pass
     return {
         "gemm512_x6_sec": gemm_sec,
         "py_md5_200k_sec": py_sec,
+        "allcore16_md5_sec": allcore_sec,
         "disk_read_sec": disk_sec,
         "disk_read_mb": round(nbytes / 1e6, 1),
     }
+
+
+def _allcore_work(_):
+    import hashlib
+
+    h = hashlib.md5()
+    for i in range(100_000):
+        h.update(str(i).encode())
+    return None
 
 
 def wait_for_clean_host(
@@ -129,9 +154,12 @@ def wait_for_clean_host(
     while True:
         p = host_health_probe()
         clean = (
-            p["py_md5_200k_sec"] < 0.05 * relax and p["gemm512_x6_sec"] < 0.03 * relax
+            p["py_md5_200k_sec"] < 0.05 * relax
+            and p["gemm512_x6_sec"] < 0.03 * relax
+            and (p["allcore16_md5_sec"] is None or p["allcore16_md5_sec"] < 0.15 * relax)
         )
-        attempts.append({"md5": p["py_md5_200k_sec"], "gemm": p["gemm512_x6_sec"]})
+        attempts.append({"md5": p["py_md5_200k_sec"], "gemm": p["gemm512_x6_sec"],
+                         "allcore": p["allcore16_md5_sec"]})
         waited = time.time() - t0
         if clean or waited >= max_wait_sec:
             return {
@@ -267,18 +295,19 @@ def run_default(reps: int = 3):
     flagship_med = round(statistics.median(fs), 3)
     imgs.unpersist(blocking=True)
 
-    # the sf1 spatial core is the headline — run it in the cleanest window,
-    # before the sf0.1 continuity suite's heavy dedup family heats the host
-    if sf1_dir is not None:
-        times1, medians1, samples1 = _time_suite(spark, qs, SF1_QUERIES, sf1_dir, reps)
-    else:
-        times1, medians1, samples1 = {}, {}, {}
-
-    midflight = wait_for_clean_host(max_wait_sec=240.0, relax=1.5)
+    # sf0.1 continuity first: it occupies the same early-window position in
+    # the load profile as the round-4 artifact, so round-over-round per-query
+    # comparisons stay apples-to-apples on this progressively-throttling host
     times01, medians01, samples01 = _time_suite(spark, qs, BENCH_QUERIES, SF_DIR, reps)
     times01["flagship_join_tiling"] = flagship_sec
     medians01["flagship_join_tiling"] = flagship_med
     samples01["flagship_join_tiling"] = [round(s, 3) for s in fs]
+
+    midflight = wait_for_clean_host(max_wait_sec=300.0, relax=1.5)
+    if sf1_dir is not None:
+        times1, medians1, samples1 = _time_suite(spark, qs, SF1_QUERIES, sf1_dir, reps)
+    else:
+        times1, medians1, samples1 = {}, {}, {}
 
     postflight = host_health_probe()
     total01 = round(sum(times01.values()), 3)

@@ -353,19 +353,94 @@ _OSGB36 = Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421,
                   20.4894, _ELL_AIRY)
 
 
+class GridShift:
+    """Projected-space grid correction — the OSTN15 mechanism.
+
+    National grid transformations (OSTN15 for EPSG 27700, NTv2 derivatives
+    elsewhere) publish easting/northing shift surfaces sampled on a regular
+    grid over the PROJECTED plane: E_local = E_hub + dE(E, N),
+    N_local = N_hub + dN(E, N), bilinear interpolation between nodes.
+    This class carries one such extract: node (0,0) at (e0, n0), spacing
+    ``step`` meters, ``de``/``dn`` 2-D arrays indexed [row=n, col=e].
+
+    The engine cannot ship the real OSTN15 tables (no network in this
+    sandbox); a user loads the public OS data into this class (it is a
+    plain CSV of node shifts) and attaches it via register_tm_crs
+    (grid_shift=...).  The interpolation/application machinery is exact
+    and tested against an analytic synthetic surface; coverage is loud —
+    points outside the extract raise rather than silently falling back.
+    """
+
+    __slots__ = ("e0", "n0", "step", "de", "dn")
+
+    def __init__(self, e0: float, n0: float, step: float, de, dn):
+        self.e0, self.n0, self.step = e0, n0, step
+        self.de = np.asarray(de, dtype=np.float64)
+        self.dn = np.asarray(dn, dtype=np.float64)
+        if self.de.shape != self.dn.shape or self.de.ndim != 2:
+            raise ValueError("GridShift: de/dn must be equal-shape 2-D arrays")
+
+    def interp(self, e, n):
+        ge = (np.asarray(e, np.float64) - self.e0) / self.step
+        gn = (np.asarray(n, np.float64) - self.n0) / self.step
+        rows, cols = self.de.shape
+        if np.any(ge < 0) or np.any(gn < 0) or np.any(ge > cols - 1) or np.any(gn > rows - 1):
+            raise ValueError(
+                "GridShift: point outside the committed grid extract "
+                f"(covers E [{self.e0}, {self.e0 + (cols - 1) * self.step}], "
+                f"N [{self.n0}, {self.n0 + (rows - 1) * self.step}])"
+            )
+        i0 = np.minimum(np.floor(ge).astype(np.int64), cols - 2)
+        j0 = np.minimum(np.floor(gn).astype(np.int64), rows - 2)
+        fx = ge - i0
+        fy = gn - j0
+        out = []
+        for g in (self.de, self.dn):
+            v = (
+                g[j0, i0] * (1 - fx) * (1 - fy)
+                + g[j0, i0 + 1] * fx * (1 - fy)
+                + g[j0 + 1, i0] * (1 - fx) * fy
+                + g[j0 + 1, i0 + 1] * fx * fy
+            )
+            out.append(v)
+        return out[0], out[1]
+
+    def apply(self, e, n):
+        de, dn = self.interp(e, n)
+        return np.asarray(e, np.float64) + de, np.asarray(n, np.float64) + dn
+
+    def unapply(self, e, n, iters: int = 3):
+        """Inverse by fixed-point: shifts are ~100 m with ~1e-5 gradients,
+        so 2-3 iterations land far below the OSTN15 noise floor."""
+        e_out = np.asarray(e, np.float64) - self.de.mean()
+        n_out = np.asarray(n, np.float64) - self.dn.mean()
+        for _ in range(iters):
+            de, dn = self.interp(e_out, n_out)
+            e_out = np.asarray(e, np.float64) - de
+            n_out = np.asarray(n, np.float64) - dn
+        return e_out, n_out
+
+
 class TMCRS:
     """General Transverse Mercator CRS: per-ellipsoid Krueger series,
-    latitude-of-origin offset, optional Helmert datum, optional output unit.
+    latitude-of-origin offset, optional Helmert datum, optional output unit,
+    optional projected-space GridShift (the OSTN15 pipeline: when set, the
+    hub lon/lat is projected directly — no Helmert — and the grid correction
+    lands on the projected plane, which is exactly how OSGB defines
+    ETRS89 -> OSGB36/ODN; the Helmert stays the fallback elsewhere).
 
     The latitude of natural origin enters as the meridian-arc northing at
     (lat0, lon0) computed through the same series, so FN is relative to it
     exactly as EPSG defines."""
 
-    __slots__ = ("ell", "lat0", "lon0", "k0", "fe", "fn", "unit", "datum", "_y0")
+    __slots__ = ("ell", "lat0", "lon0", "k0", "fe", "fn", "unit", "datum",
+                 "grid_shift", "_y0")
 
-    def __init__(self, ell, lat0, lon0, k0, fe, fn, unit=1.0, datum=None):
+    def __init__(self, ell, lat0, lon0, k0, fe, fn, unit=1.0, datum=None,
+                 grid_shift=None):
         self.ell, self.lat0, self.lon0, self.k0 = ell, lat0, lon0, k0
         self.fe, self.fn, self.unit, self.datum = fe, fn, unit, datum
+        self.grid_shift = grid_shift
         self._y0 = self._tm_fwd(np.array([lon0]), np.array([lat0]))[1][0]
 
     def _tm_fwd(self, lon_deg, lat_deg):
@@ -400,6 +475,14 @@ class TMCRS:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
     def forward(self, lon_deg, lat_deg):
+        if self.grid_shift is not None:
+            # OSTN15 pipeline: project the hub coordinates directly, then
+            # apply the grid correction on the projected plane
+            x, y = self._tm_fwd(lon_deg, lat_deg)
+            e = self.fe + x
+            n = self.fn + (y - self._y0)
+            e, n = self.grid_shift.apply(e, n)
+            return e / self.unit, n / self.unit
         if self.datum is not None:
             lon_deg, lat_deg = self.datum.from_wgs84(lon_deg, lat_deg)
         x, y = self._tm_fwd(lon_deg, lat_deg)
@@ -409,6 +492,12 @@ class TMCRS:
         )
 
     def inverse(self, x, y):
+        if self.grid_shift is not None:
+            e, n = self.grid_shift.unapply(
+                np.asarray(x, np.float64) * self.unit,
+                np.asarray(y, np.float64) * self.unit,
+            )
+            return self._tm_inv(e - self.fe, n - self.fn + self._y0)
         xm = np.asarray(x, np.float64) * self.unit - self.fe
         ym = np.asarray(y, np.float64) * self.unit - self.fn + self._y0
         lon, lat = self._tm_inv(xm, ym)
@@ -601,6 +690,7 @@ def register_tm_crs(
     ellipsoid: str = "GRS80",
     unit: float = 1.0,
     helmert: tuple | None = None,
+    grid_shift: "GridShift | None" = None,
 ) -> None:
     """Register a Transverse Mercator CRS under ``epsg:<code>`` at runtime.
 
@@ -610,12 +700,16 @@ def register_tm_crs(
     database (Functions.java:184-189) without shipping one.  ``unit``:
     meters per output unit (0.3048006096012192 for US survey feet).
     ``helmert``: optional (tx, ty, tz, rx", ry", rz", s_ppm) position-vector
-    datum shift FROM WGS84 (see the OSGB36 entry).
+    datum shift FROM WGS84 (see the OSGB36 entry).  ``grid_shift``: optional
+    GridShift with a national correction-grid extract (e.g. OSTN15 for
+    27700); when set it REPLACES the Helmert path — project the hub
+    coordinates, then add the interpolated (dE, dN).
     """
     ell = ELLIPSOIDS[ellipsoid]
     datum = Helmert(*helmert, ell) if helmert is not None else None
     _TM[int(code)] = TMCRS(
-        ell, lat0, lon0, k0, false_easting, false_northing, unit=unit, datum=datum
+        ell, lat0, lon0, k0, false_easting, false_northing, unit=unit,
+        datum=datum, grid_shift=grid_shift,
     )
 
 

@@ -88,7 +88,7 @@ def knn_join(
     left: DataFrame,
     right: DataFrame,
     k: int,
-    grid: Grid,
+    grid: Grid | None,
     left_id: str,
     left_x: str = "x",
     left_y: str = "y",
@@ -124,7 +124,44 @@ def knn_join(
     survives.  A pure filter: no per-round dropDuplicates shuffle, and no
     synthetic row id to keep stable (round-4 ADVICE).  Default (None): both
     sides are points via x/y columns, fully native plan.
+
+    ``grid=None`` sizes the index to the data (one cheap min/max+count agg
+    per side): the level is chosen so a cell holds ~2k right points, which
+    keeps the first ring's candidate count near the information-theoretic
+    floor instead of exploding with density.  A FIXED level degrades as the
+    right side grows (at 10x density a level-5 ring-1 square held ~1300
+    candidates per left point for k=3); sizing from an aggregate statistic
+    — not a driver sample — is the same scale-safe pattern spatial_join
+    uses (joins.py:68-101).
     """
+    if grid is None:
+        import math
+
+        from incubator_sedona_spark.cells import Grid as _G
+
+        if right_geom is not None:
+            rb = with_bbox(right, right_geom).agg(
+                F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"), F.count("*")
+            ).first()
+        else:
+            rb = right.agg(
+                F.min(right_x), F.min(right_y), F.max(right_x), F.max(right_y), F.count("*")
+            ).first()
+        lb = left.agg(F.min(left_x), F.min(left_y), F.max(left_x), F.max(left_y)).first()
+        if rb[0] is None or lb[0] is None:  # an empty side: any grid is fine
+            rb = (0.0, 0.0, 1.0, 1.0, rb[4] or 0)
+            lb = (0.0, 0.0, 1.0, 1.0)
+        minx = min(rb[0], lb[0])
+        miny = min(rb[1], lb[1])
+        maxx = max(rb[2], lb[2])
+        maxy = max(rb[3], lb[3])
+        n_r = rb[4]
+        # ~2k right rows per cell: ring R=1 already holds >= k with high
+        # probability and the candidate fan-in stays O(k), not O(density)
+        cells = max(1.0, n_r / max(float(2 * k), 1.0))
+        level = int(min(12, max(2, round(math.log(cells, 4)))))
+        pad = 1e-9 + 1e-6 * max(maxx - minx, maxy - miny, 1.0)
+        grid = _G(float(minx), float(miny), float(maxx) + pad, float(maxy) + pad, level)
     lp = left.select(
         F.col(left_id),
         F.col(left_x).alias("__lx"),

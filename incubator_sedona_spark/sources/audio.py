@@ -7,8 +7,10 @@ the raw samples never cross the Arrow boundary per-row.
 The WAV codec is real — RIFF/WAVE/fmt/data chunks, PCM 16-bit, mono or
 multi-channel, any sample rate — written against the public RIFF spec (no
 deps; the format is simple enough that gating it would be dishonest).
-Compressed formats (MP3/FLAC/OGG) are gated behind soundfile/pydub when
-installed, else a loud NotImplementedError.
+FLAC decodes natively through the real pure-numpy codec in
+sources/flac.py (lossless — bit-exact vs the WAV twin, CRC+MD5 verified);
+MP3/OGG stay gated behind soundfile/pydub when installed, else a loud
+NotImplementedError.
 
 Feature extraction (duration / RMS / peak / zero-crossing rate / windowed
 energy) happens inside the SAME mapInPandas pass as decode, so samples are
@@ -56,14 +58,24 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     Walks RIFF chunks properly (extra chunks like LIST/fact are skipped, as
     real-world encoders emit them)."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        if buf[:4] == b"fLaC":
+            # real pure-numpy FLAC decoder (sources/flac.py): lossless, so
+            # this path is bit-exact with the WAV twin; >16-bit streams are
+            # rescaled to the int16 contract of this accessor
+            from incubator_sedona_spark.sources.flac import decode_flac
+
+            samples, sr, bps = decode_flac(buf)
+            if bps > 16:
+                samples = samples >> (bps - 16)
+            return samples.astype(np.int16), sr
         if _soundfile is not None:
             import io
 
             data, sr = _soundfile.read(io.BytesIO(bytes(buf)), dtype="int16")
             return np.atleast_2d(data.T).T, sr
         raise NotImplementedError(
-            "not a RIFF/WAVE stream and soundfile is not installed "
-            "(compressed audio needs soundfile/pydub)"
+            "not a RIFF/WAVE or FLAC stream and soundfile is not installed "
+            "(MP3/OGG need soundfile/pydub)"
         )
     pos, end = 12, len(buf)
     ch = sr = bits = None

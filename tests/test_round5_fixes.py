@@ -105,6 +105,36 @@ def test_knn_join_geometry_mode_no_dedup_shuffle(spark):
     assert out.groupBy("pid", "gid").count().where(F.col("count") > 1).count() == 0
 
 
+def test_knn_join_auto_grid_matches_explicit(spark):
+    """grid=None sizes the cell level from right-side density; results must
+    be identical to any explicit grid (the index never changes answers)."""
+    from incubator_sedona_spark.cells import Grid
+    from incubator_sedona_spark.operators.knn import knn_join
+
+    pts = spark.range(60).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.col("id") * 37, 97) / 1.0).alias("x"),
+        (F.pmod(F.col("id") * 61, 97) / 1.0).alias("y"),
+    )
+    rs = spark.range(500).select(
+        F.col("id").alias("rid"),
+        (F.pmod(F.col("id") * 13, 101) / 1.01).alias("x"),
+        (F.pmod(F.col("id") * 7, 103) / 1.03).alias("y"),
+    )
+    a = knn_join(pts, rs, 4, None, left_id="pid", tiebreak="rid").select(
+        "pid", "rid", "knn_rank"
+    )
+    b = knn_join(
+        pts, rs, 4, Grid(0.0, 0.0, 100.01, 100.01, 5), left_id="pid", tiebreak="rid"
+    ).select("pid", "rid", "knn_rank")
+    assert a.count() == 240
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # empty right side: auto grid must not crash on null bounds
+    empty = rs.where(F.lit(False))
+    assert knn_join(pts, empty, 3, None, left_id="pid").count() == 0
+
+
 def test_salt_cells_map_column_does_not_break_analysis(spark):
     from incubator_sedona_spark.partitioning import salt_cells
 
