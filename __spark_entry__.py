@@ -820,6 +820,48 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bpe_ish_token_count_col(F.col("text")).alias("n_bpe"))
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable train/val/test split (pipeline/packing.py) — the label
+    is a pure function of md5(doc_id), so the boundary never moves on re-run."""
+    from incubator_sedona_spark.pipeline.packing import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_split(
+        d, "doc_id", {"train": 80, "val": 10, "test": 10}
+    ).select("doc_id", "split")
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (data-mixture control)."""
+    from incubator_sedona_spark.pipeline.packing import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.25
+    ).select("doc_id", "lang")
+
+
+def q_doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing, start-offset rule (native window cumsum)."""
+    from incubator_sedona_spark.pipeline.packing import pack_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_shards(d, "n_chars", "doc_id", budget=4000, n_buckets=8).select(
+        "doc_id", "bucket", "shard"
+    )
+
+
+def q_doc_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact next-fit shard packing (stateful scan per bucket via
+    applyInPandas); oracle = recursive CTE replaying the same greedy walk."""
+    from incubator_sedona_spark.pipeline.packing import pack_shards_nextfit
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_shards_nextfit(d, "n_chars", "doc_id", budget=4000, n_buckets=8).select(
+        "doc_id", "bucket", "shard"
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.8).select("id_a", "id_b")
@@ -976,6 +1018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_split": q_doc_split,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_shards": q_doc_pack_shards,
+        "doc_pack_nextfit": q_doc_pack_nextfit,
         "overlay_area": q_overlay_area,
         "union_area": q_union_area,
         "buffer_area": q_buffer_area,
@@ -1268,6 +1314,64 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
+        """,
+        # packing.py: the bucket hash is md5 over the id's string form —
+        # byte-identical across Spark and DuckDB, so every packing/split
+        # oracle replays the exact engine arithmetic
+        "doc_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT <
+                  CASE lang WHEN 'en' THEN 32768
+                            WHEN 'zh' THEN 65536
+                            ELSE 16384 END
+        """,
+        "doc_pack_shards": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CAST(floor((SUM(n_chars) OVER (
+                          PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_chars) / 4000.0) AS BIGINT) AS shard
+            FROM b
+        """,
+        # the greedy next-fit walk replayed one row at a time per bucket
+        "doc_pack_nextfit": """
+            WITH RECURSIVE b AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS bucket
+              FROM documents),
+            o AS (
+              SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM b),
+            walk AS (
+              SELECT bucket, rn, doc_id,
+                     CAST(0 AS BIGINT) AS shard,
+                     CAST(n_chars AS DOUBLE) AS running
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.doc_id,
+                     CASE WHEN w.running + o.n_chars > 4000
+                          THEN w.shard + 1 ELSE w.shard END,
+                     CASE WHEN w.running + o.n_chars > 4000
+                          THEN CAST(o.n_chars AS DOUBLE)
+                          ELSE w.running + o.n_chars END
+              FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+            )
+            SELECT doc_id, bucket, shard FROM walk
         """,
         # The LSH queries verify candidates EXACTLY (char-shingle jaccard /
         # md5-bit hamming / cosine), so their oracles are plain all-pairs

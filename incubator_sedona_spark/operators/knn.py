@@ -134,6 +134,7 @@ def knn_join(
     — not a driver sample — is the same scale-safe pattern spatial_join
     uses (joins.py:68-101).
     """
+    n_right: int | None = None  # reused from the auto-grid agg when available
     if grid is None:
         import math
 
@@ -156,6 +157,7 @@ def knn_join(
         maxx = max(rb[2], lb[2])
         maxy = max(rb[3], lb[3])
         n_r = rb[4]
+        n_right = int(n_r)
         # ~2k right rows per cell: ring R=1 already holds >= k with high
         # probability and the candidate fan-in stays O(k), not O(density)
         cells = max(1.0, n_r / max(float(2 * k), 1.0))
@@ -213,9 +215,11 @@ def knn_join(
 
     # adaptive initial ring: smallest R whose (2R+1)^2-cell square is expected
     # to hold >= 2k right points (one cheap count job; on a real table this is
-    # parquet-metadata fast).  Round schedule: [R0, 8*R0, full] - bounded work,
-    # stragglers only in later rounds.
-    n_right = rp_cross.count() if right_geom is not None else rp.count()
+    # parquet-metadata fast — and with an auto grid the sizing agg already
+    # carried the count, so no second pass).  Round schedule: [R0, 8*R0, full]
+    # - bounded work, stragglers only in later rounds.
+    if n_right is None:
+        n_right = rp_cross.count() if right_geom is not None else rp.count()
     density = max(n_right / float(n * n), 1e-12)
     r0 = int(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0))
     r0 = max(1, min(r0, n))
@@ -234,6 +238,12 @@ def knn_join(
         if 8 * r0 < n - 1:
             schedule.append(("ring", 8 * r0))
         schedule.append(("cross", None))
+
+    n_rings = sum(1 for kind_r, _ in schedule if kind_r == "ring")
+    if n_rings > 1:
+        # the exploded/celled right relation is probed by every ring round;
+        # pin it so round 2 doesn't re-scan (and re-explode) the right side
+        rp = _pin(rp)
 
     results = None
     pending = _pin(lp)

@@ -1,0 +1,131 @@
+"""Tests for pipeline/packing.py — splits, stratified sampling, shard packing."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_sedona_spark.pipeline.packing import (
+    deterministic_split,
+    hash_bucket_col,
+    pack_shards,
+    pack_shards_nextfit,
+    stratified_sample,
+)
+
+
+def _py_bucket(s: str, n: int) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:4], 16) % n
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    df = spark.range(0, 200).select(F.col("id"))
+    got = {r["id"]: r["bucket"] for r in df.select("id", hash_bucket_col(F.col("id"), 100)).collect()}
+    for i in range(200):
+        assert got[i] == _py_bucket(str(i), 100)
+
+
+def test_deterministic_split_stable_and_complete(spark):
+    df = spark.range(0, 1000)
+    s = deterministic_split(df, "id", {"train": 80, "val": 10, "test": 10})
+    counts = {r["split"]: r["cnt"] for r in s.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # content-stable: the same ids get the same label on a grown corpus
+    s2 = deterministic_split(spark.range(0, 2000), "id", {"train": 80, "val": 10, "test": 10})
+    a = dict(s.select("id", "split").collect())
+    b = dict(s2.where(F.col("id") < 1000).select("id", "split").collect())
+    assert a == b
+
+
+def test_deterministic_split_bad_weights(spark):
+    with pytest.raises(ValueError, match="sum to 100"):
+        deterministic_split(spark.range(5), "id", {"a": 50, "b": 40})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(0, 4000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    kept = stratified_sample(df, "id", "stratum", {"en": 1.0, "de": 0.25})
+    rows = kept.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+    cnt = {r["stratum"]: r["cnt"] for r in rows}
+    assert cnt["en"] == 2000  # rate 1.0 keeps everything
+    assert 300 < cnt["de"] < 700  # ~500 expected, md5-uniform
+    # absent stratum -> default_rate=0 drops all
+    df2 = df.withColumn("stratum", F.lit("fr"))
+    assert stratified_sample(df2, "id", "stratum", {"en": 1.0}).count() == 0
+    # rerun is row-identical
+    k1 = sorted(r["id"] for r in kept.select("id").collect())
+    k2 = sorted(r["id"] for r in stratified_sample(df, "id", "stratum", {"en": 1.0, "de": 0.25}).select("id").collect())
+    assert k1 == k2
+
+
+def _brute_nextfit(tokens, budget):
+    shard, s, running = [], 0, 0.0
+    for t in tokens:
+        if running > 0 and running + t > budget:
+            s, running = s + 1, 0.0
+        shard.append(s)
+        running += t
+    return shard
+
+
+def test_pack_shards_start_offset_rule(spark):
+    df = spark.createDataFrame(
+        [(i, 10 * (1 + i % 5)) for i in range(200)], "doc_id long, tokens long"
+    )
+    out = pack_shards(df, "tokens", "doc_id", budget=100, n_buckets=4).collect()
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        start = 0
+        for r in rows:
+            assert r["shard"] == start // 100
+            start += r["tokens"]
+
+
+def test_pack_shards_nextfit_matches_brute(spark):
+    rng = np.random.RandomState(7)
+    toks = [int(t) for t in rng.randint(5, 120, size=300)]
+    df = spark.createDataFrame(list(zip(range(300), toks)), "doc_id long, tokens long")
+    out = pack_shards_nextfit(df, "tokens", "doc_id", budget=100, n_buckets=4).collect()
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        expect = _brute_nextfit([r["tokens"] for r in rows], 100)
+        assert [r["shard"] for r in rows] == expect
+        # contract: no shard exceeds the budget unless it is a single doc
+        totals = {}
+        for r in rows:
+            totals.setdefault(r["shard"], []).append(r["tokens"])
+        for docs in totals.values():
+            assert sum(docs) <= 100 or len(docs) == 1
+
+
+def test_pack_shards_oversized_doc_isolated(spark):
+    df = spark.createDataFrame(
+        [(0, 30), (1, 500), (2, 30)], "doc_id long, tokens long"
+    )
+    out = {r["doc_id"]: r["shard"] for r in
+           pack_shards_nextfit(df, "tokens", "doc_id", budget=100, n_buckets=1).collect()}
+    assert out[0] != out[1] and out[1] != out[2]
+
+
+def test_pack_shards_single_shuffle_plan(spark):
+    df = spark.range(0, 100).withColumn("tokens", F.lit(10))
+    q = pack_shards(df, "tokens", "id", budget=100, n_buckets=8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash partition by bucket, nothing else
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_shards_validation(spark):
+    df = spark.range(5).withColumn("tokens", F.lit(1))
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(df, "tokens", "id", budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards_nextfit(df, "tokens", "id", budget=-5)
