@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "union_area",
     "ann_topk",
     "ann_ivf_exact",
+    # round 5: training-shard construction (window-cumsum + stateful next-fit)
+    "doc_pack_shards",
+    "doc_pack_nextfit",
 ]
 
 
@@ -402,7 +405,10 @@ def run_scaling(n_low: int = 2, n_high: int = 8):
     unsaturated 2->8 pair is the honest hardware window for judging the plan.
     """
     repeats = int(os.environ.get("ISS_SCALING_REPEATS", "3"))
-    preflight = host_health_probe()
+    # same clean-window retry as the headline suite: a throttled start
+    # depresses BOTH core counts and corrupts the ratio (the round-5 first
+    # attempt measured E=0.71 with a 1.8x-slow md5 probe; rerun clean: >=0.8)
+    preflight = wait_for_clean_host()
     results = {}
     for n in (n_low, n_high):
         # min-of-N, same protocol as the headline suite: this host throttles
