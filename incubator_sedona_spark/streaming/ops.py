@@ -99,6 +99,72 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_pack_shards(
+    stream: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    id_col: str | None = None,
+    n_buckets: int = 64,
+    bucket_col: str = "bucket",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: token-budget shard packing over a
+    document stream (the streaming form of pipeline/packing.pack_shards_nextfit).
+
+    Keyed by the same cross-engine md5 bucket as the batch op; the state per
+    bucket is just ``(current shard, running token total)`` — two numbers, so
+    state is bounded by ``n_buckets`` regardless of stream length (no TTL
+    needed, unlike dedup state which grows with distinct keys).  Within a
+    micro-batch a bucket's rows are packed in ``order_col`` order; across
+    micro-batches packing continues greedily from the saved state, which is
+    exactly the contract a streaming shard-writer needs: shard ids are
+    assigned once, never reshuffled, and a restart resumes from the
+    checkpointed state store.  Arrival order across micro-batches is the
+    packing order (a stream cannot re-sort history).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incubator_sedona_spark.pipeline.packing import hash_bucket_col
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    keyed = stream.withColumn(
+        bucket_col, hash_bucket_col(F.col(id_col or order_col), n_buckets)
+    )
+    out_schema = StructType(
+        list(keyed.schema.fields) + [StructField(shard_col, LongType())]
+    )
+    state_schema = "shard long, running double"
+
+    def _pack(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        s, running = state.get if state.exists else (0, 0.0)
+        tokens = rows[token_col].to_numpy("float64")
+        shard = tokens.astype("int64")  # right-shaped scratch; overwritten below
+        for i, t in enumerate(tokens):
+            if running > 0.0 and running + t > budget:
+                s, running = s + 1, 0.0
+            shard[i] = s
+            running += t
+        state.update((int(s), float(running)))
+        rows[shard_col] = shard
+        yield rows
+
+    return keyed.groupBy(bucket_col).applyInPandasWithState(
+        _pack,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_tile_counts(
     stream: DataFrame,
     grid: Grid,

@@ -260,3 +260,48 @@ def test_streaming_spatial_join_dict_salt(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_pip_salted").collect()
     }
     assert got == expected
+
+
+def test_streaming_pack_shards_continues_across_batches(spark, tmp_path):
+    """Stateful shard packing: (1) a single micro-batch matches the batch
+    next-fit operator exactly; (2) packing CONTINUES from the state store
+    across micro-batches — the stream over two files equals the batch op
+    over the concatenated corpus (ids ordered so arrival order = doc order)."""
+    from incubator_sedona_spark.pipeline.packing import pack_shards_nextfit
+    from incubator_sedona_spark.streaming.ops import streaming_pack_shards
+
+    src = str(tmp_path / "pack_src")
+    ckpt = str(tmp_path / "pack_ckpt")
+    rows1 = [(i, 10 * (1 + i % 7)) for i in range(0, 60)]
+    rows2 = [(i, 10 * (1 + i % 7)) for i in range(60, 120)]
+    schema = "doc_id long, tokens long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_pack_shards(stream, "tokens", "doc_id", budget=100, n_buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id): (r.bucket, r.shard)
+        for r in spark.sql("SELECT * FROM pack_out").collect()
+    }
+    assert len(got) == 120
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expect = {
+        r.doc_id: (r.bucket, r.shard)
+        for r in pack_shards_nextfit(
+            batch, "tokens", "doc_id", budget=100, n_buckets=4
+        ).collect()
+    }
+    assert got == expect
