@@ -108,13 +108,37 @@ def _polygon_from_rings(rings: list[np.ndarray]) -> W.Geometry:
     return W.multi(W.MULTIPOLYGON, polys)
 
 
-def parse_shp(buf: bytes, source: str = "<bytes>") -> list[Optional[W.Geometry]]:
+class _Skipped:
+    """Sentinel for an unsupported-type record skipped in ``skip`` mode;
+    keeps the list index-aligned with the sibling .dbf record stream (the
+    reference advances BOTH readers when it skips —
+    CombineShapeReader.java:148-154)."""
+
+    __slots__ = ()
+
+
+SKIPPED = _Skipped()
+
+
+def parse_shp(
+    buf: bytes, source: str = "<bytes>", on_unsupported: str = "error"
+) -> list[Optional[W.Geometry]]:
     """Parse a whole .shp file; one entry per record (None for NULL shapes).
 
     Record advancement trusts the record header's content length (the spec
     guarantees it), so unknown-but-well-formed records fail loudly on their
     shape id rather than desynchronising the stream.
+
+    ``on_unsupported``: ``"error"`` (default) raises on Z/M/MULTIPATCH
+    records; ``"skip"`` replicates the reference's contract — skip the
+    record with a warning (ShapefileReaderTest.testShapefileEndWith
+    UnsupportedType expects 0 rows from a PolygonZ file) — emitting the
+    ``SKIPPED`` sentinel so DBF alignment is preserved.  The loud default is
+    a deliberate deviation: silently dropping records is how a 100-TB
+    ingest loses data without anyone noticing.
     """
+    if on_unsupported not in ("error", "skip"):
+        raise ValueError(f"on_unsupported must be 'error' or 'skip', got {on_unsupported!r}")
     mv = memoryview(buf)
     if len(buf) < _HEADER_LEN:
         raise ValueError(f"{source}: truncated shapefile header ({len(buf)} bytes)")
@@ -133,10 +157,20 @@ def parse_shp(buf: bytes, source: str = "<bytes>") -> list[Optional[W.Geometry]]
         (stype,) = struct.unpack_from("<i", mv, c)
         if stype not in SUPPORTED_TYPES:
             name = SHAPE_NAMES.get(stype, f"id={stype}")
+            if on_unsupported == "skip":
+                import warnings
+
+                warnings.warn(
+                    f"{source}: skipped unsupported shape type {name} "
+                    f"(reference parity: CombineShapeReader.java:148-154)"
+                )
+                out.append(SKIPPED)
+                continue
             raise NotImplementedError(
                 f"{source}: shape type {name} is not supported (the reference "
                 f"supports NULL/POINT/POLYLINE/POLYGON/MULTIPOINT only, "
-                f"ShapeType.java:31-47)"
+                f"ShapeType.java:31-47; pass on_unsupported='skip' for the "
+                f"reference's skip-with-warning contract)"
             )
         if stype == 0:
             out.append(None)
@@ -281,6 +315,7 @@ def read_shapefile(
     path: str,
     all_strings: bool = False,
     keep_null: bool = False,
+    on_unsupported: str = "error",
 ) -> DataFrame:
     """Read shapefile(s) into a DataFrame of attribute columns + ``wkb``.
 
@@ -312,7 +347,7 @@ def read_shapefile(
             for shp, dbf, shx in zip(pdf["shp"], pdf["dbf"], pdf["shx"]):
                 filesystem, p = _fs_for(shp)
                 with filesystem.open_input_file(p) as f:
-                    geoms = parse_shp(f.read(), shp)
+                    geoms = parse_shp(f.read(), shp, on_unsupported=on_unsupported)
                 if shx is not None:
                     _, px = _fs_for(shx)
                     with filesystem.open_input_file(px) as f:
@@ -332,14 +367,22 @@ def read_shapefile(
                             f"{dbf}: DBF schema {sig} differs from the directory "
                             f"schema {field_sig}"
                         )
-                    n_attr = len(next(iter(cols.values()))) if cols else 0
-                    if n_attr != len(geoms):
-                        raise ValueError(
-                            f"{shp}: {len(geoms)} shapes but {n_attr} DBF records"
-                        )
+                    # zero-field DBFs exist in the wild (the reference's own
+                    # point fixture) — with no columns there is nothing to
+                    # align, so only check when attributes are present
+                    if cols:
+                        n_attr = len(next(iter(cols.values())))
+                        if n_attr != len(geoms):
+                            raise ValueError(
+                                f"{shp}: {len(geoms)} shapes but {n_attr} DBF records"
+                            )
                 elif field_sig:
                     raise ValueError(f"{shp}: missing .dbf but the directory schema has fields")
-                keep = [i for i, g in enumerate(geoms) if keep_null or g is not None]
+                keep = [
+                    i
+                    for i, g in enumerate(geoms)
+                    if not isinstance(g, _Skipped) and (keep_null or g is not None)
+                ]
                 data = {f.name: [cols[f.name][i] for i in keep] for f in fields}
                 data["wkb"] = [
                     W.dumps(geoms[i]) if geoms[i] is not None else None for i in keep
