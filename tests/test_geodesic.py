@@ -124,3 +124,60 @@ def test_spark_surface(spark):
     got = df.select(st_area_geodesic(F.col("wkb")).alias("a")).first()["a"]
     expect = G.geodesic_ring_area(np.array(ring))
     assert got == pytest.approx(expect, rel=1e-12)
+
+
+# -- round 5: exact O(edges) line-integral path ------------------------------
+
+
+def test_exact_matches_richardson_densification():
+    """The closed-form line integral and the Richardson-extrapolated
+    densification derive the same area through disjoint machinery (inverse
+    setup + GL quadrature vs direct-problem sampling + chord excess); the
+    ~1e-11 tolerance is the Vincenty direct lambda-series placing the
+    densification samples (the ladder is flat n=512..4096 at a ~7e-12
+    offset), not quadrature error."""
+    rings = [
+        np.array([[30.0, 10.0], [45.0, 40.0], [60.0, 15.0], [40.0, -5.0], [30.0, 10.0]]),
+        np.array([[10.0, 20.0], [10.0, 40.0], [50.0, 40.0], [50.0, 20.0], [10.0, 20.0]]),
+        np.array([[0.0, 0.0], [0.0, 30.0], [60.0, 30.0], [60.0, 0.0], [0.0, 0.0]]),
+        np.array([[-35.0, 100.0], [-20.0, 140.0], [-45.0, 150.0], [-50.0, 110.0], [-35.0, 100.0]]),
+        np.array([[70.0, -50.0], [75.0, 10.0], [80.0, -30.0], [70.0, -50.0]]),
+        np.array([[40.0, 10.0], [40.0, 10.01], [40.01, 10.01], [40.01, 10.0], [40.0, 10.0]]),
+    ]
+    for r in rings:
+        ex = G.geodesic_ring_area_exact(r)
+        ri = G.geodesic_ring_area_richardson(r)
+        assert abs(ex - ri) / ri < 2e-11, r
+
+
+def test_exact_is_the_default():
+    ring = np.array(
+        [[30.0, 10.0], [45.0, 40.0], [60.0, 15.0], [40.0, -5.0], [30.0, 10.0]]
+    )
+    assert G.geodesic_ring_area(ring) == G.geodesic_ring_area_exact(ring)
+
+
+def test_exact_orientation_invariance_and_degenerates():
+    ring = np.array(
+        [[30.0, 10.0], [45.0, 40.0], [60.0, 15.0], [40.0, -5.0], [30.0, 10.0]]
+    )
+    rev = ring[::-1].copy()
+    assert G.geodesic_ring_area_exact(rev) == pytest.approx(
+        G.geodesic_ring_area_exact(ring), rel=1e-13
+    )
+    # repeated vertex (zero-length edge) contributes nothing
+    dup = np.vstack([ring[:2], ring[1:]])
+    assert G.geodesic_ring_area_exact(dup) == pytest.approx(
+        G.geodesic_ring_area_exact(ring), rel=1e-13
+    )
+    assert G.geodesic_ring_area_exact(np.array([[0.0, 0.0], [0.0, 0.0]])) == 0.0
+
+
+def test_exact_huge_edge_panels():
+    """Edges spanning thousands of km exercise the multi-panel GL split."""
+    ring = np.array(
+        [[-10.0, -60.0], [35.0, 30.0], [55.0, -120.0], [-10.0, -60.0]]
+    )
+    ex = G.geodesic_ring_area_exact(ring)
+    ri = G.geodesic_ring_area_richardson(ring)
+    assert abs(ex - ri) / ri < 5e-11
