@@ -96,6 +96,15 @@ def decode_image(buf: bytes) -> np.ndarray:
         from incubator_sedona_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(buf)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        if _HAS_PIL:
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+        # real pure-numpy decoder (LZW + interlace + frame compositing)
+        from incubator_sedona_spark.sources.gif import decode_gif
+
+        return decode_gif(buf)
     if head[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF (incl. GeoTiff payloads)
         try:
             import io
