@@ -49,11 +49,29 @@ def probe_rawv(buf: bytes) -> dict:
     return {"width": w, "height": h, "fps": float(fps), "n_frames": n}
 
 
-def decode_video(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
-    """(k, h, w, 3) uint8 frames.  RAWV decodes natively (random access via
-    the frame index — only requested frames are decompressed); real
-    containers need PyAV/OpenCV (loud gate)."""
+def probe_video(buf: bytes) -> dict:
+    """{width, height, fps, n_frames} for any natively-supported container
+    (RAWV or AVI/MJPEG)."""
     buf = bytes(buf)
+    if buf[:4] == _RAWV_MAGIC:
+        return probe_rawv(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from incubator_sedona_spark.sources.avi import parse_avi
+
+        m = parse_avi(buf)
+        return {k: m[k] for k in ("width", "height", "fps", "n_frames")}
+    raise ValueError(f"unrecognized video container {buf[:4]!r}")
+
+
+def decode_video(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
+    """(k, h, w, 3) uint8 frames.  RAWV and AVI/Motion-JPEG decode natively
+    (random access via the container index — only requested frames are
+    ever decompressed); other codecs need PyAV/OpenCV (loud gate)."""
+    buf = bytes(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from incubator_sedona_spark.sources.avi import decode_avi
+
+        return decode_avi(buf, frame_indices)
     if buf[:4] == _RAWV_MAGIC:
         w, h, fps, n = struct.unpack_from("<HHfI", buf, 4)
         sizes = struct.unpack_from("<" + "I" * n, buf, 16)
@@ -100,7 +118,7 @@ def frame_sample_df(
         for pdf in batches:
             ids, fidx, ts, r, g, b, png = [], [], [], [], [], [], []
             for vid, buf in zip(pdf[id_col], pdf[bytes_col]):
-                meta = probe_rawv(bytes(buf))
+                meta = probe_video(bytes(buf))
                 want = list(range(0, meta["n_frames"], every_k))
                 frames = decode_video(buf, want)
                 for k, i in enumerate(want):

@@ -1,0 +1,130 @@
+"""AVI/Motion-JPEG container (sources/avi.py).
+
+The JPEG pixel path is already JVM-cross-checked (test_jpeg_codec.py); what
+this file establishes is the CONTAINER: RIFF structure, both idx1 offset
+conventions, index-less linear scan, geometry/fps metadata, and — the
+scale property — that un-sampled frames are never parsed (proved by
+corrupting them and decoding around the damage).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from incubator_sedona_spark.sources import avi as AV
+from incubator_sedona_spark.sources import images as IM
+from incubator_sedona_spark.sources.video import decode_video, frame_sample_df, probe_video
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 80 * np.sin(xx / 9.0 + seed) * np.cos(yy / 7.0)
+    g = 40 + (xx / max(w - 1, 1)) * 170
+    b = 220 - (yy / max(h - 1, 1)) * 180
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _jvm_jpeg(spark, pix):
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(IM.encode_png(pix)))
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    return bytes(baos.toByteArray())
+
+
+@pytest.fixture(scope="module")
+def clip(spark):
+    frames = [_smooth(48, 64, seed=i) for i in range(6)]
+    jpegs = [_jvm_jpeg(spark, f) for f in frames]
+    return frames, jpegs
+
+
+def test_roundtrip_psnr_and_metadata(clip):
+    frames, jpegs = clip
+    buf = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0)
+    meta = AV.parse_avi(buf)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (64, 48, 6)
+    assert meta["fps"] == pytest.approx(12.0)
+    assert meta["codec"] == "MJPG"
+    out = AV.decode_avi(buf)
+    assert out.shape == (6, 48, 64, 3)
+    for i in range(6):
+        assert IM.psnr(out[i], frames[i]) >= 40.0  # JPEG loss only
+
+
+def test_both_idx1_offset_conventions_and_no_index(clip):
+    frames, jpegs = clip
+    rel = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0)
+    absolute = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0, absolute_index_offsets=True)
+    noidx = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0, write_index=False)
+    a, b, c = AV.decode_avi(rel), AV.decode_avi(absolute), AV.decode_avi(noidx)
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+def test_unsampled_frames_never_parsed(clip):
+    """Corrupt the JPEG payloads of frames 1, 3, 5 in place: decoding the
+    even frames must still work (proof of O(sampled) random access), and
+    touching a corrupted frame must fail loud."""
+    frames, jpegs = clip
+    buf = bytearray(AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0))
+    meta = AV.parse_avi(bytes(buf))
+    for i in (1, 3, 5):
+        off, size = meta["frames"][i]
+        buf[off : off + size] = b"\x00" * size
+    ok = AV.decode_avi(bytes(buf), [0, 2, 4])
+    for k, i in enumerate([0, 2, 4]):
+        assert IM.psnr(ok[k], frames[i]) >= 40.0
+    with pytest.raises(Exception):
+        AV.decode_avi(bytes(buf), [3])
+
+
+def test_decode_video_dispatch_and_probe(clip):
+    frames, jpegs = clip
+    buf = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0)
+    assert probe_video(buf)["n_frames"] == 6
+    out = decode_video(buf, [0, 5])
+    assert out.shape == (2, 48, 64, 3)
+    assert IM.psnr(out[1], frames[5]) >= 40.0
+
+
+def test_frame_sample_df_over_avi(spark, clip):
+    """The every-k sampler works unchanged over AVI bytes (one mapInPandas,
+    only sampled frames decoded)."""
+    import pandas as pd
+
+    frames, jpegs = clip
+    buf = AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0)
+    df = spark.createDataFrame(pd.DataFrame({"video_id": [7], "bytes": [buf]}))
+    got = frame_sample_df(df, every_k=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 3]
+    assert got[0]["t_s"] == pytest.approx(0.0)
+    assert got[1]["t_s"] == pytest.approx(0.25)
+    sampled = IM.decode_png(bytes(got[1]["png"]))
+    assert IM.psnr(sampled, frames[3]) >= 40.0
+
+
+def test_non_mjpeg_codec_fails_loud(clip):
+    frames, jpegs = clip
+    buf = bytearray(AV.encode_avi_mjpeg(jpegs, 64, 48))
+    i = buf.find(b"MJPG")
+    while i != -1:  # strh handler + strf biCompression
+        buf[i : i + 4] = b"H264"
+        i = buf.find(b"MJPG", i + 4)
+    with pytest.raises(NotImplementedError, match="H264"):
+        AV.decode_avi(bytes(buf))
+
+
+def test_corrupt_container_fails_loud():
+    with pytest.raises(ValueError, match="not an AVI"):
+        AV.parse_avi(b"RIFF\x10\x00\x00\x00WAVEdata")
+    with pytest.raises(ValueError):
+        AV.parse_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no hdrl
+
+
+def test_geometry_mismatch_fails_loud(spark, clip):
+    frames, jpegs = clip
+    buf = AV.encode_avi_mjpeg(jpegs, 32, 32, fps=12.0)  # header lies
+    with pytest.raises(ValueError, match="header says"):
+        AV.decode_avi(buf, [0])
