@@ -748,3 +748,101 @@ class TestGridShift:
             assert np.max(np.abs(lon2 - lon) + np.abs(lat2 - lat)) < 1e-8
         finally:
             CRS._TM.pop(909090, None)
+
+
+# -- round 5: SPCS83 state-plane batch (crs_tables._SP_LCC/_SP_TM) --------------
+
+
+class TestStatePlaneBatch:
+    """Three independent properties per zone, all computed numerically from
+    the registered forward function (no self-referential goldens):
+
+      1. definition point: forward(lon0, lat0) == (FE, FN) exactly;
+      2. LCC physics: the point scale factor (finite-difference planar
+         distance over true ellipsoidal meridian distance) is 1 AT each
+         standard parallel, < 1 strictly between them, > 1 outside —
+         this verifies lat1/lat2 really are the standard parallels;
+      3. TM physics: scale along the central meridian == k0 everywhere.
+
+    Plus roundtrip fuzz across every zone's service area.
+    """
+
+    @staticmethod
+    def _meridian_scale(code, lon, lat):
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+
+        eps = 1e-5  # degrees
+        lats = np.array([lat - eps, lat + eps])
+        x, y = CRS.transform_xy(np.array([lon, lon]), lats, "epsg:4326", f"epsg:{code}")
+        planar = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+        # true meridian arc on GRS80 between the two latitudes
+        a, f = 6378137.0, 1.0 / 298.257222101
+        e2 = f * (2 - f)
+        phi = np.radians(np.linspace(lats[0], lats[1], 64))
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        true = float(np.sum((M[1:] + M[:-1]) * 0.5 * np.diff(phi)))
+        return planar / true
+
+    def test_definition_points_all_zones(self):
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+        from incubator_sedona_spark.functions.crs_tables import _SP_LCC, _SP_TM
+
+        for code, _1, _2, lat0, lon0, fe, fn in _SP_LCC:
+            x, y = CRS.transform_xy(np.array([lon0]), np.array([lat0]),
+                                    "epsg:4326", f"epsg:{code}")
+            assert abs(float(x[0]) - fe) < 1e-4, code
+            assert abs(float(y[0]) - fn) < 1e-4, code
+        for code, lat0, lon0, _k0, fe, fn in _SP_TM:
+            x, y = CRS.transform_xy(np.array([lon0]), np.array([lat0]),
+                                    "epsg:4326", f"epsg:{code}")
+            assert abs(float(x[0]) - fe) < 1e-4, code
+            assert abs(float(y[0]) - fn) < 1e-4, code
+
+    def test_lcc_standard_parallel_scale(self):
+        from incubator_sedona_spark.functions.crs_tables import _SP_LCC
+
+        for code, lat1, lat2, _lat0, lon0, _fe, _fn in _SP_LCC:
+            for sp in (lat1, lat2):
+                k = self._meridian_scale(code, lon0, sp)
+                assert abs(k - 1.0) < 1e-7, (code, sp, k)
+            mid = 0.5 * (lat1 + lat2)
+            assert self._meridian_scale(code, lon0, mid) < 1.0 - 1e-9, code
+            outside = lat2 + 0.6 * (lat2 - lat1)
+            assert self._meridian_scale(code, lon0, outside) > 1.0 + 1e-9, code
+
+    def test_tm_central_meridian_scale(self):
+        from incubator_sedona_spark.functions.crs_tables import _SP_TM
+
+        for code, lat0, lon0, k0, _fe, _fn in _SP_TM:
+            for lat in (lat0 + 1.0, lat0 + 3.5):
+                k = self._meridian_scale(code, lon0, lat)
+                assert abs(k - k0) < 1e-7, (code, lat, k, k0)
+
+    def test_roundtrip_fuzz_all_zones(self):
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+        from incubator_sedona_spark.functions.crs_tables import _SP_LCC, _SP_TM
+
+        rng = np.random.RandomState(11)
+        zones = [(c, lat0, lon0) for c, _1, _2, lat0, lon0, _f, _n in _SP_LCC]
+        zones += [(c, lat0, lon0) for c, lat0, lon0, _k, _f, _n in _SP_TM]
+        for code, lat0, lon0 in zones:
+            lon = lon0 + rng.uniform(-2.5, 2.5, 40)
+            lat = lat0 + rng.uniform(0.5, 4.0, 40)
+            x, y = CRS.transform_xy(lon, lat, "epsg:4326", f"epsg:{code}")
+            lon2, lat2 = CRS.transform_xy(x, y, f"epsg:{code}", "epsg:4326")
+            assert np.abs(lon2 - lon).max() < 1e-9, code
+            assert np.abs(lat2 - lat).max() < 1e-9, code
+
+    def test_ny_east_equals_new_jersey(self):
+        # EPSG publishes identical definitions under both codes
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+
+        lon = np.array([-74.2, -74.7, -74.0])
+        lat = np.array([39.5, 40.8, 41.2])
+        x1, y1 = CRS.transform_xy(lon, lat, "epsg:4326", "epsg:32111")
+        x2, y2 = CRS.transform_xy(lon, lat, "epsg:4326", "epsg:32115")
+        assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
