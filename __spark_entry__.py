@@ -813,6 +813,60 @@ def q_cell_count_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("cell", "lineage", "row_count")
 
 
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram benchmark decontamination (pipeline/decontam.py).
+    The 'benchmark suite' is synthesized deterministically from the corpus
+    itself — the first 40 normalized tokens of every doc_id % 37 == 0
+    document — i.e. a leaked-benchmark scenario whose exact answer DuckDB
+    reproduces in closed form."""
+    from incubator_sedona_spark.pipeline import decontam as DC
+
+    d = _t(spark, sf_dir, "documents")
+    toks = DC.normalized_tokens_col(F.col("text"))
+    bench = d.where(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(toks, 1, 40), " ").alias("text")
+    )
+    got = DC.decontaminate(d, bench, n=13)
+    return got.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (pipeline/decontam.repetition_stats):
+    duplicate-token/line fractions and the top word bigram's token share."""
+    from incubator_sedona_spark.pipeline import decontam as DC
+
+    d = _t(spark, sf_dir, "documents")
+    r = DC.repetition_stats(d)
+    return r.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("dup_token_frac", 6).alias("dup_tok_r"),
+        F.round("dup_line_frac", 6).alias("dup_line_r"),
+        "top_bigram",
+        F.round("top_bigram_frac", 6).alias("top_bg_r"),
+    )
+
+
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual-hash Hamming distance (dedup.
+    phash_dup_pairs): 5-band pigeonhole keys (exact recall for <= 4 flipped
+    bits) + native bit_count verify.  The 64-bit hashes derive
+    deterministically from doc_id with a bit-mix DuckDB expresses
+    identically; every doc_id % 25 == 0 image gets a planted 3-bit-mutated
+    copy."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") * F.lit(2654435761)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 29))
+    ph = h.bitwiseAND(F.lit((1 << 60) - 1))
+    base = d.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    mut = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("image_id"),
+        ph.bitwiseXOR(F.lit(0x10401)).alias("phash"),  # flip 3 bits
+    )
+    got = DD.phash_dup_pairs(base.unionByName(mut), id_col="image_id", max_hamming=4)
+    return got.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_sedona_spark.pipeline.text import bpe_ish_token_count_col
 
@@ -1018,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_decontam": q_doc_decontam,
+        "doc_repetition": q_doc_repetition,
+        "image_phash_pairs": q_image_phash_pairs,
         "doc_split": q_doc_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_shards": q_doc_pack_shards,
@@ -1314,6 +1371,88 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
+        """,
+        # decontam.py: tokenization is one shared regex; DuckDB rebuilds the
+        # same 13-grams laterally (t[i:i+12] is 13 elements, 1-based
+        # inclusive = Spark's slice(toks, i+1, 13))
+        "doc_decontam": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            btoks AS (
+              SELECT list_filter(string_split(regexp_replace(lower(array_to_string(t[1:40], ' ')),
+                                                             '[^a-z0-9]+', ' ', 'g'), ' '),
+                                 x -> x <> '') AS t
+              FROM toks WHERE doc_id % 37 = 0
+            ),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+              FROM btoks, UNNEST(generate_series(1, len(t) - 12)) AS s(i)
+              WHERE len(t) >= 13
+            ),
+            cgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS s(i)
+              WHERE len(t) >= 13
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM cgrams JOIN bgrams USING (g)
+            GROUP BY doc_id
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                                 x -> x <> '') AS t,
+                     list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                                 s -> s <> '') AS l
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac,
+                     CASE WHEN len(l) <= 1 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) END AS dup_line_frac,
+                     t
+              FROM toks WHERE len(t) >= 2
+            ), bg AS (
+              SELECT doc_id, n_tokens, dup_token_frac, dup_line_frac,
+                     t[i] || ' ' || t[i+1] AS g
+              FROM base, UNNEST(generate_series(1, n_tokens - 1)) AS s(i)
+            ), cnt AS (
+              SELECT doc_id, n_tokens, dup_token_frac, dup_line_frac, g, count(*) AS c
+              FROM bg GROUP BY ALL
+            ), top AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+              FROM cnt
+            )
+            SELECT doc_id, n_tokens,
+                   round(dup_token_frac, 6) AS dup_tok_r,
+                   round(dup_line_frac, 6) AS dup_line_r,
+                   g AS top_bigram,
+                   round(2.0 * c / n_tokens, 6) AS top_bg_r
+            FROM top WHERE rn = 1
+        """,
+        # brute-force O(n^2) oracle: the banded pigeonhole join must
+        # reproduce it exactly (recall guaranteed for hamming <= bands - 1)
+        "image_phash_pairs": """
+            WITH ph AS (
+              SELECT doc_id,
+                     xor(doc_id * 2654435761, (doc_id * 2654435761) >> 29)
+                       & ((1::BIGINT << 60) - 1) AS h
+              FROM documents
+            ),
+            pool AS (
+              SELECT doc_id AS image_id, h AS phash FROM ph
+              UNION ALL
+              SELECT doc_id + 10000000, xor(h, 66561) FROM ph WHERE doc_id % 25 = 0
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM pool a JOIN pool b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
         # packing.py: the bucket hash is md5 over the id's string form —
         # byte-identical across Spark and DuckDB, so every packing/split

@@ -432,6 +432,72 @@ def simhash_dup_pairs(
     )
 
 
+def phash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance.
+
+    The image-modality sibling of simhash_dup_pairs: the input already
+    carries a 64-bit perceptual hash (the images table's ``phash`` column,
+    sources/images.phash64), so no signature pass is needed.  The 64 bits
+    are split into ``n_bands`` nearly-equal bands (default max_hamming + 1,
+    the pigeonhole minimum: <= max_hamming flipped bits cannot touch every
+    band, so one band always matches and recall is EXACT — the same
+    argument as simhash's 3-of-6 keys); candidates equi-join per band with
+    the hash carried alongside (ids+hash-only shuffle, no second lookup
+    join), then the exact ``bit_count(xor)`` verify.  ``max_bucket_size``
+    caps degenerate bands (e.g. all-black thumbnails hashing to 0) exactly
+    like the minhash/simhash paths."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall for max_hamming="
+            f"{max_hamming}; need n_bands >= max_hamming + 1 (pigeonhole)"
+        )
+    if n_bands > 64:
+        raise ValueError("n_bands > 64")
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    keyed = df.select(
+        F.col(id_col),
+        F.col(phash_col).alias("__ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col(phash_col), offs[i])
+                            if widths[i] >= 64  # full-width band: no mask
+                            else F.shiftrightunsigned(F.col(phash_col), offs[i])
+                            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "__ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    keyed = _cap_buckets(keyed, ["band", "key"], max_bucket_size)
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__ph").alias("ph_a"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__ph").alias("ph_b"), "band", "key")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
