@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     # round 5: training-shard construction (window-cumsum + stateful next-fit)
     "doc_pack_shards",
     "doc_pack_nextfit",
+    # round 5 (late): decontamination + image pHash near-dup
+    "doc_decontam",
+    "image_phash_pairs",
 ]
 
 
