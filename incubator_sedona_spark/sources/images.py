@@ -342,6 +342,86 @@ def image_invariants_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(_check, schema=schema)
 
 
+def resize_pixels(pixels: np.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy resize — the multimodal 'resize' stage of the brief.
+
+    Convention: half-pixel sample centers with edge clamping (the
+    align_corners=False convention shared by PIL/TF/torch for bilinear);
+    'nearest' picks the sample-center pixel, so it never invents colors
+    (palette images stay palette).  Fully vectorized (separable gather +
+    outer-product weights): no Python per pixel."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"method {method!r}: bilinear|nearest")
+    h, w, c = pixels.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("output size must be positive")
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5
+    if method == "nearest":
+        yi = np.clip(np.round(ys).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.round(xs).astype(np.int64), 0, w - 1)
+        return pixels[yi][:, xi]
+    ys = np.clip(ys, 0.0, h - 1.0)
+    xs = np.clip(xs, 0.0, w - 1.0)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def center_crop_pixels(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Center crop; loud if the crop exceeds the image (no implicit pad)."""
+    h, w, _ = pixels.shape
+    if out_h > h or out_w > w:
+        raise ValueError(f"crop {out_w}x{out_h} exceeds image {w}x{h}")
+    y = (h - out_h) // 2
+    x = (w - out_w) // 2
+    return np.ascontiguousarray(pixels[y : y + out_h, x : x + out_w])
+
+
+def resize_images_df(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    method: str = "bilinear",
+    crop: tuple[int, int] | None = None,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Decode -> (optional center crop) -> resize -> re-encode PNG, in ONE
+    mapInPandas pass (pixels never re-cross Arrow between stages — the same
+    fusion discipline as image_features_df).  Output replaces ``bytes``
+    with the PNG and updates w/h/fmt; all other columns pass through."""
+    fields = [f"{n} {t}" for n, t in
+              [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+              if n not in (bytes_col, "w", "h", "fmt")]
+    schema = ", ".join(fields + [f"{bytes_col} binary", "w int", "h int", "fmt string"])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for buf in pdf[bytes_col]:
+                pix = decode_image(bytes(buf))
+                if crop is not None:
+                    pix = center_crop_pixels(pix, crop[1], crop[0])
+                outs.append(encode_png(resize_pixels(pix, out_h, out_w, method)))
+            out = pdf.drop(columns=[c for c in (bytes_col, "w", "h", "fmt")
+                                    if c in pdf.columns])
+            out[bytes_col] = outs
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            out["fmt"] = "png"
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)
+
+
 def extract_features(pixels: np.ndarray) -> tuple[float, float, list[float]]:
     """Per-image features: mean luma, Sobel-gradient-magnitude mean, 16-bin
     luma histogram (normalized).  The multimodal 'feature-extract' stage —
