@@ -668,6 +668,147 @@ _POLAR = {
 }
 
 
+class OMCRS:
+    """Hotine Oblique Mercator, variant B (EPSG method 9815; Snyder 1987
+    p.66-75) — the SPCS83 Alaska zone 1 / RSO Borneo formula family, the
+    one conic/cylindrical family the registry previously lacked.
+
+    Variant B: the false easting/northing apply AT THE PROJECTION CENTRE
+    (EPSG GN7-2 names Alaska zone 1 as its defining example), so
+    forward(lon_c, lat_c) == (FE, FN) exactly — the same definition-point
+    property every other family here is tested on.  Parameters: centre
+    (lat_c, lon_c), azimuth alpha_c of the initial line at the centre,
+    rectified-grid angle gamma_c, scale kc on the initial line.
+    alpha_c == +-90 (the Hungarian EOV special case) is rejected loudly.
+    Verified against the EPSG worked example (Timbalai 1948 / RSO Borneo)
+    to centimetres and by scale-factor physics at the centre."""
+
+    __slots__ = ("ell", "latc", "lonc", "alphac", "gammac", "kc", "fe", "fn",
+                 "datum", "B", "A", "lam0", "gam0", "H", "uc", "_sphic")
+
+    def __init__(self, ell, latc, lonc, alphac, gammac, kc, fe, fn, datum=None):
+        if abs(abs(alphac) - 90.0) < 1e-9:
+            raise ValueError("alpha_c == +-90 (EOV form) not implemented; "
+                             "use a dedicated registration")
+        self.ell, self.latc, self.lonc = ell, latc, lonc
+        self.alphac, self.gammac, self.kc = alphac, gammac, kc
+        self.fe, self.fn, self.datum = fe, fn, datum
+        a, e = ell.a, ell.e
+        e2 = e * e
+        phic = np.radians(latc)
+        alc = np.radians(alphac)
+        sphic, cphic = np.sin(phic), np.cos(phic)
+        self._sphic = 1.0 if latc >= 0 else -1.0
+        B = np.sqrt(1.0 + e2 * cphic**4 / (1.0 - e2))
+        A = a * B * kc * np.sqrt(1.0 - e2) / (1.0 - e2 * sphic**2)
+        t0 = np.tan(np.pi / 4 - phic / 2) / (
+            (1 - e * sphic) / (1 + e * sphic)
+        ) ** (e / 2)
+        D = B * np.sqrt(1.0 - e2) / (cphic * np.sqrt(1.0 - e2 * sphic**2))
+        D2 = max(D * D, 1.0)
+        F = D + np.sqrt(D2 - 1.0) * self._sphic
+        self.H = F * t0**B
+        G = (F - 1.0 / F) / 2.0
+        self.gam0 = np.arcsin(np.sin(alc) / D)
+        self.lam0 = np.radians(lonc) - np.arcsin(G * np.tan(self.gam0)) / B
+        self.uc = (A / B) * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alc)) * self._sphic
+        self.B, self.A = B, A
+
+    def _t(self, phi):
+        e = self.ell.e
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lon_deg, lat_deg):
+        if self.datum is not None:
+            lon_deg, lat_deg = self.datum.from_wgs84(lon_deg, lat_deg)
+        B, A = self.B, self.A
+        phi = np.radians(np.asarray(lat_deg, np.float64))
+        lam = np.radians(np.asarray(lon_deg, np.float64))
+        Q = self.H / self._t(phi) ** B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = B * (lam - self.lam0)
+        V = np.sin(dl)
+        U = (-V * np.cos(self.gam0) + S * np.sin(self.gam0)) / T
+        v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (
+            A * np.arctan2(S * np.cos(self.gam0) + V * np.sin(self.gam0), np.cos(dl)) / B
+            - abs(self.uc) * self._sphic
+        )
+        gc = np.radians(self.gammac)
+        return (
+            v * np.cos(gc) + u * np.sin(gc) + self.fe,
+            u * np.cos(gc) - v * np.sin(gc) + self.fn,
+        )
+
+    def inverse(self, x, y):
+        B, A = self.B, self.A
+        gc = np.radians(self.gammac)
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        vp = dx * np.cos(gc) - dy * np.sin(gc)
+        up = dy * np.cos(gc) + dx * np.sin(gc) + abs(self.uc) * self._sphic
+        Qp = np.exp(-B * vp / A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(B * up / A)
+        Up = (Vp * np.cos(self.gam0) + Sp * np.sin(self.gam0)) / Tp
+        tp = (self.H / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+        chi = np.pi / 2 - 2.0 * np.arctan(tp)
+        e2 = self.ell.e**2
+        e4, e6, e8 = e2 * e2, e2**3, e2**4
+        phi = (
+            chi
+            + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+            + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+            + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+            + (4279 * e8 / 161280) * np.sin(8 * chi)
+        )
+        lam = self.lam0 - np.arctan2(
+            Sp * np.cos(self.gam0) - Vp * np.sin(self.gam0), np.cos(B * up / A)
+        ) / B
+        lon, lat = np.degrees(lam), np.degrees(phi)
+        if self.datum is not None:
+            lon, lat = self.datum.to_wgs84(lon, lat)
+        return lon, lat
+
+
+_OM: dict[int, OMCRS] = {
+    # NAD83 / Alaska zone 1 (SPCS83; the zone the LCC/TM state-plane batch
+    # could not cover).  Azimuth/rectified angle are EPSG's published DMS
+    # (= arctan(-3/4), the Panhandle's design line).
+    26931: OMCRS(
+        _ELL_GRS80, 57.0, -(133.0 + 40.0 / 60.0),
+        -(36.0 + 52.0 / 60.0 + 11.6315 / 3600.0),
+        -(36.0 + 52.0 / 60.0 + 11.6315 / 3600.0),
+        0.9999, 5000000.0, -5000000.0,
+    ),
+}
+
+
+def register_om_crs(
+    code: int,
+    lat_c: float,
+    lon_c: float,
+    alpha_c: float,
+    gamma_c: float,
+    k_c: float,
+    false_easting: float,
+    false_northing: float,
+    ellipsoid: str = "GRS80",
+    helmert: tuple | None = None,
+) -> None:
+    """Register a Hotine Oblique Mercator (variant B) CRS at runtime —
+    see register_tm_crs."""
+    ell = ELLIPSOIDS[ellipsoid]
+    datum = Helmert(*helmert, ell) if helmert is not None else None
+    _OM[int(code)] = OMCRS(
+        ell, lat_c, lon_c, alpha_c, gamma_c, k_c,
+        false_easting, false_northing, datum=datum,
+    )
+
+
 # -- user-extensible registry --------------------------------------------------
 
 ELLIPSOIDS = {
@@ -761,12 +902,14 @@ def _parse(crs: str):
         return ("tm", code)
     if code in _LAEA:
         return ("laea", code)
+    if code in _OM:
+        return ("om", code)
     raise ValueError(
         f"unsupported CRS {crs!r} (supported: 4326, 3857, UTM 326NN/327NN, "
         f"conic {sorted(_CONIC)}, polar {sorted(_POLAR)}, "
-        f"laea {sorted(_LAEA)}, tm-grid {sorted(_TM)}; any other code is "
-        "one register_tm_crs/register_conic_crs call with its published "
-        "EPSG parameters)"
+        f"laea {sorted(_LAEA)}, om {sorted(_OM)}, tm-grid {sorted(_TM)}; "
+        "any other code is one register_tm_crs/register_conic_crs/"
+        "register_om_crs call with its published EPSG parameters)"
     )
 
 
@@ -785,6 +928,8 @@ def transform_xy(x, y, src: str, dst: str):
         lon, lat = _TM[s[1]].inverse(x, y)
     elif s[0] == "laea":
         lon, lat = _LAEA[s[1]].inverse(x, y)
+    elif s[0] == "om":
+        lon, lat = _OM[s[1]].inverse(x, y)
     else:
         lon, lat = tm_inverse(x, y, utm_zone_lon0(s[1]), _K0_UTM, _FE_UTM, s[2])
     if d[0] == "geo":
@@ -799,6 +944,8 @@ def transform_xy(x, y, src: str, dst: str):
         return _TM[d[1]].forward(lon, lat)
     if d[0] == "laea":
         return _LAEA[d[1]].forward(lon, lat)
+    if d[0] == "om":
+        return _OM[d[1]].forward(lon, lat)
     return tm_forward(lon, lat, utm_zone_lon0(d[1]), _K0_UTM, _FE_UTM, d[2])
 
 

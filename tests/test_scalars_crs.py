@@ -846,3 +846,82 @@ class TestStatePlaneBatch:
         x1, y1 = CRS.transform_xy(lon, lat, "epsg:4326", "epsg:32111")
         x2, y2 = CRS.transform_xy(lon, lat, "epsg:4326", "epsg:32115")
         assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+
+# -- round 5 (late): Hotine oblique Mercator variant B (EPSG 9815) --------------
+
+
+class TestObliqueMercator:
+    def test_epsg_worked_example_timbalai(self):
+        """EPSG Guidance Note 7-2's 9815 worked example (Timbalai 1948 /
+        RSO Borneo, Everest 1830 1967-definition) — an EXTERNAL golden,
+        reproduced to the published centimetre."""
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+
+        def dms(d, m, s):
+            return d + m / 60 + s / 3600
+
+        ev = CRS.Ellipsoid(6377298.556, 1.0 / 300.8017)
+        om = CRS.OMCRS(
+            ev, latc=4.0, lonc=115.0,
+            alphac=dms(53, 18, 56.9537), gammac=dms(53, 7, 48.3685),
+            kc=0.99984, fe=590476.87, fn=442857.65,
+        )
+        E, N = om.forward(
+            np.array([dms(115, 48, 19.8196)]), np.array([dms(5, 23, 14.1129)])
+        )
+        assert abs(E[0] - 679245.73) < 0.01
+        assert abs(N[0] - 596562.78) < 0.01
+        # variant B definition point: the projection centre maps to (FE, FN)
+        E0, N0 = om.forward(np.array([115.0]), np.array([4.0]))
+        assert abs(E0[0] - 590476.87) < 1e-4 and abs(N0[0] - 442857.65) < 1e-4
+
+    def test_alaska_zone1_definition_and_roundtrip(self):
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+
+        lonc, latc = -(133.0 + 40.0 / 60.0), 57.0
+        E, N = CRS.transform_xy(
+            np.array([lonc]), np.array([latc]), "epsg:4326", "epsg:26931"
+        )
+        assert abs(E[0] - 5000000.0) < 1e-4 and abs(N[0] + 5000000.0) < 1e-4
+        # panhandle service area fuzz
+        rng = np.random.RandomState(5)
+        lon = lonc + rng.uniform(-3.5, 3.5, 60)
+        lat = latc + rng.uniform(-2.5, 3.0, 60)
+        x, y = CRS.transform_xy(lon, lat, "epsg:4326", "epsg:26931")
+        lon2, lat2 = CRS.transform_xy(x, y, "epsg:26931", "epsg:4326")
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_scale_at_centre_is_kc(self):
+        # conformal projection: point scale is isotropic, so the meridian
+        # finite-difference scale at the centre must equal kc
+        k = TestStatePlaneBatch._meridian_scale(26931, -(133.0 + 40.0 / 60.0), 57.0)
+        assert abs(k - 0.9999) < 1e-7
+
+    def test_eov_form_rejected_loud(self):
+        from incubator_sedona_spark.functions import crs as CRS
+
+        with pytest.raises(ValueError, match="alpha_c"):
+            CRS.OMCRS(CRS.ELLIPSOIDS["GRS80"], 47.1, 19.0, 90.0, 90.0,
+                      0.99993, 650000.0, 200000.0)
+
+    def test_register_om_crs_runtime(self):
+        import numpy as np
+        from incubator_sedona_spark.functions import crs as CRS
+
+        CRS.register_om_crs(
+            909815, 4.0, 115.0, 53.0 + 18 / 60 + 56.9537 / 3600,
+            53.0 + 7 / 60 + 48.3685 / 3600, 0.99984, 590476.87, 442857.65,
+            ellipsoid="GRS80",
+        )
+        try:
+            x, y = CRS.transform_xy(
+                np.array([115.5]), np.array([4.5]), "epsg:4326", "epsg:909815"
+            )
+            lon, lat = CRS.transform_xy(x, y, "epsg:909815", "epsg:4326")
+            assert abs(lon[0] - 115.5) < 1e-9 and abs(lat[0] - 4.5) < 1e-9
+        finally:
+            CRS._OM.pop(909815, None)
