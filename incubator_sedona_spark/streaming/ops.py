@@ -185,3 +185,57 @@ def streaming_tile_counts(
         .groupBy(F.window(F.col(ts_col), window), "tile_x", "tile_y")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    mode: str = "clean",
+) -> DataFrame:
+    """Benchmark decontamination over a document STREAM (stateless).
+
+    The batch operator's plan (pipeline/decontam.decontaminate) is already
+    the streaming-legal shape — a broadcast stream-static equi-join on the
+    benchmark's distinct n-grams — so this composite reuses the same
+    column expressions and only restructures the aggregation-free parts:
+
+      * ``mode="clean"``   -> the incoming rows with contaminated documents
+        REMOVED: the filter a training-ingest stream actually deploys.
+        An anti-join of the stream against its own hits is stream-stream
+        (unsupported), so this mode ships the benchmark grams as ONE
+        broadcast collect_set row cross-joined in, and filters row-locally
+        with arrays_overlap — no explode of the stream side at all.
+      * ``mode="flagged"`` -> (id_col, gram) hit rows, one per contaminated
+        document per distinct offending n-gram (no aggregation — counts
+        roll up downstream with whatever windowing the caller wants).
+
+    The benchmark side is a static DataFrame, recomputed per micro-batch
+    only if unpersisted — pass a cached/broadcastable benchmark (it is
+    MBs-scale by nature).  State: none; a document is judged solely
+    against the static benchmark, so no watermark is needed.
+    """
+    from incubator_sedona_spark.pipeline.decontam import ngrams_col
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngrams_col(F.col(bench_text_col or text_col), n)).alias("__gram")
+        )
+        .distinct()
+    )
+    if mode == "clean":
+        bench_set = bench_grams.agg(F.collect_set("__gram").alias("__bench_grams"))
+        return (
+            stream.crossJoin(F.broadcast(bench_set))
+            .where(~F.arrays_overlap(ngrams_col(F.col(text_col), n), F.col("__bench_grams")))
+            .drop("__bench_grams")
+        )
+    if mode == "flagged":
+        grams = stream.select(
+            F.col(id_col), F.explode(ngrams_col(F.col(text_col), n)).alias("__gram")
+        ).dropDuplicates([id_col, "__gram"])
+        return grams.join(F.broadcast(bench_grams), "__gram").select(id_col, "__gram")
+    raise ValueError(f"mode {mode!r}: clean|flagged")

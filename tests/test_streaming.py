@@ -305,3 +305,58 @@ def test_streaming_pack_shards_continues_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_decontaminate_parity(spark, tmp_path):
+    """Stream-static decontamination: the 'clean' stream drops exactly the
+    documents the batch operator flags; 'flagged' matches the batch hit
+    set."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from incubator_sedona_spark.pipeline.decontam import decontaminate
+    from incubator_sedona_spark.streaming.ops import streaming_decontaminate
+
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(f"w{i}" for i in range(14)),          # contaminated
+                " ".join(f"x{i}" for i in range(20)),          # clean
+                "prefix " + " ".join(f"w{i}" for i in range(5, 19)),  # contaminated
+                "short clean doc",                              # clean (under n)
+            ],
+        }
+    )
+    src = str(tmp_path / "decon_src")
+    batch = spark.createDataFrame(docs)
+    batch.write.parquet(src)
+    bench = spark.createDataFrame(pd.DataFrame({"text": [bench_text]}))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    clean_q = (
+        streaming_decontaminate(stream, bench, n=13)
+        .writeStream.format("memory").queryName("decon_clean")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    clean_q.awaitTermination(120)
+    flagged_q = (
+        streaming_decontaminate(stream, bench, n=13, mode="flagged")
+        .writeStream.format("memory").queryName("decon_flagged")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    flagged_q.awaitTermination(120)
+
+    batch_hits = {r["doc_id"] for r in decontaminate(batch, bench, n=13).collect()}
+    assert batch_hits == {1, 3}
+    clean_ids = {r.doc_id for r in spark.sql("SELECT doc_id FROM decon_clean").collect()}
+    assert clean_ids == {2, 4}
+    flagged = spark.sql("SELECT * FROM decon_flagged").collect()
+    assert {r.doc_id for r in flagged} == batch_hits
+    # per-doc distinct-gram counts equal the batch n_hits
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in flagged)
+    batch_counts = {r["doc_id"]: r["n_hits"] for r in decontaminate(batch, bench, n=13).collect()}
+    assert dict(per_doc) == batch_counts
