@@ -51,7 +51,7 @@ def probe_rawv(buf: bytes) -> dict:
 
 def probe_video(buf: bytes) -> dict:
     """{width, height, fps, n_frames} for any natively-supported container
-    (RAWV or AVI/MJPEG)."""
+    (RAWV, AVI/MJPEG, or animated GIF)."""
     buf = bytes(buf)
     if buf[:4] == _RAWV_MAGIC:
         return probe_rawv(buf)
@@ -60,6 +60,16 @@ def probe_video(buf: bytes) -> dict:
 
         m = parse_avi(buf)
         return {k: m[k] for k in ("width", "height", "fps", "n_frames")}
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from incubator_sedona_spark.sources.gif import decode_gif_frames
+
+        frames = decode_gif_frames(buf)
+        total_cs = sum(d for d, _ in frames)
+        h, w, _ = frames[0][1].shape
+        # mean frame rate; GIFs without timing default to the 10 fps most
+        # players assume
+        fps = (len(frames) * 100.0 / total_cs) if total_cs > 0 else 10.0
+        return {"width": w, "height": h, "fps": fps, "n_frames": len(frames)}
     raise ValueError(f"unrecognized video container {buf[:4]!r}")
 
 
@@ -72,7 +82,16 @@ def decode_video(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarr
         from incubator_sedona_spark.sources.avi import decode_avi
 
         return decode_avi(buf, frame_indices)
-    if buf[:4] == _RAWV_MAGIC:
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF: frames are delta-composited over the canvas, so
+        # "random access" inherently replays preceding frames — cost is
+        # O(max requested index), the format's own limit, unlike the true
+        # O(sampled) RAWV/AVI paths
+        from incubator_sedona_spark.sources.gif import decode_gif_frames
+
+        frames = decode_gif_frames(buf)
+        want = list(range(len(frames))) if frame_indices is None else frame_indices
+        return np.stack([frames[i][1] for i in want])
         w, h, fps, n = struct.unpack_from("<HHfI", buf, 4)
         sizes = struct.unpack_from("<" + "I" * n, buf, 16)
         offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int) + 16 + 4 * n

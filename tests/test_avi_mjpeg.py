@@ -128,3 +128,28 @@ def test_geometry_mismatch_fails_loud(spark, clip):
     buf = AV.encode_avi_mjpeg(jpegs, 32, 32, fps=12.0)  # header lies
     with pytest.raises(ValueError, match="header says"):
         AV.decode_avi(buf, [0])
+
+
+def test_animated_gif_as_video(spark):
+    """Animated GIFs are a video modality in web corpora: probe_video /
+    decode_video / frame_sample_df all take them (compositing replay is
+    the format's own random-access limit, documented)."""
+    import pandas as pd
+
+    from incubator_sedona_spark.sources import gif as GF
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (9, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 9, (20, 30))] for _ in range(6)]
+    buf = GF.encode_gif(frames, delays_cs=[20] * 6)  # 5 fps
+    meta = probe_video(buf)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (30, 20, 6)
+    assert meta["fps"] == pytest.approx(5.0)
+    out = decode_video(buf, [0, 4])
+    assert np.array_equal(out[0], frames[0])
+    assert np.array_equal(out[1], frames[4])
+    df = spark.createDataFrame(pd.DataFrame({"video_id": [1], "bytes": [buf]}))
+    got = frame_sample_df(df, every_k=4).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 4]
+    assert got[1]["t_s"] == pytest.approx(0.8)
+    assert np.array_equal(IM.decode_png(bytes(got[1]["png"])), frames[4])

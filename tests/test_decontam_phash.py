@@ -116,3 +116,29 @@ def test_phash_bucket_cap(spark):
     assert full == 49 * 50 // 2
     capped = phash_dup_pairs(df, max_hamming=0, max_bucket_size=10).count()
     assert capped < full
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale assertion: the benchmark side must enter as a broadcast hash
+    join (no corpus-side shuffle before the join)."""
+    import pandas as pd
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": ["alpha beta " * 10] * 10})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"text": ["alpha beta " * 10]}))
+    plan = DC.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_phash_plan_is_python_free(spark):
+    """The whole banded candidate+verify pipeline is built-ins only: the
+    executed plan must contain no Python/Arrow eval nodes."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": range(20), "phash": range(100, 120)})
+    )
+    plan = phash_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert bad not in plan, plan
