@@ -150,10 +150,12 @@ def decode_geotiff(buf: bytes) -> dict:
     """Parse a classic TIFF into a raster dict (REAL parser, public spec).
 
     Supports: II/MM byte order, single IFD, raw/Deflate/LZW/PackBits
-    strips AND 16x16+ tile layouts (+ predictor 2), chunky interleave, any uint/int/float sample
-    width; ModelPixelScale + ModelTiepoint + GeoKeyDirectory (geographic
-    2048 / projected 3072 key) georeference.  Other variants fall back to
-    tifffile when installed, else raise NotImplementedError loudly."""
+    strips AND 16x16+ tile layouts (+ predictor 2), chunky AND planar
+    (PlanarConfiguration=2, plane-major strips/tiles) interleave, any
+    uint/int/float sample width; ModelPixelScale + ModelTiepoint +
+    GeoKeyDirectory (geographic 2048 / projected 3072 key) georeference.
+    Other variants fall back to tifffile when installed, else raise
+    NotImplementedError loudly."""
     if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF byte stream")
     bo = "<" if buf[:2] == b"II" else ">"
@@ -200,8 +202,9 @@ def decode_geotiff(buf: bytes) -> dict:
     sf = tags.get(_T_SAMPLE_FORMAT, [1] * spp)
     if len(set(bits)) != 1 or len(set(sf)) != 1:
         raise NotImplementedError("mixed per-sample formats unsupported")
-    if int(tags.get(_T_PLANAR, [1])[0]) != 1:
-        raise NotImplementedError("planar TIFF interleave unsupported (chunky only)")
+    planar = int(tags.get(_T_PLANAR, [1])[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF PlanarConfiguration {planar} unknown")
     dt = _np_dtype(int(sf[0]), int(bits[0]))
     if bo == ">":
         dt = dt.newbyteorder(">")
@@ -235,19 +238,43 @@ def decode_geotiff(buf: bytes) -> dict:
         t_cnts = [int(v) for v in tags[_T_TILE_COUNTS]]
         tiles_x = (w + tw - 1) // tw
         arr = np.zeros((h, w, spp), dtype=dt)
+        # planar (PlanarConfiguration=2): tiles come plane-major — all of
+        # sample 0's tiles, then sample 1's, ... (TIFF 6.0 §15); each tile
+        # then carries ONE sample
+        tile_spp = spp if planar == 1 else 1
+        tiles_per_plane = len(t_offs) // (1 if planar == 1 else spp)
         for k, (o, c) in enumerate(zip(t_offs, t_cnts)):
             raw = _inflate(buf[o : o + c])
-            tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
-                th, tw, spp
+            tile = np.frombuffer(raw, dtype=dt, count=tw * th * tile_spp).reshape(
+                th, tw, tile_spp
             )
             tile = _undo_predictor(tile)
-            ty, tx = (k // tiles_x) * th, (k % tiles_x) * tw
+            kk = k % tiles_per_plane
+            ty, tx = (kk // tiles_x) * th, (kk % tiles_x) * tw
             ch, cw = min(th, h - ty), min(tw, w - tx)
-            arr[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+            if planar == 1:
+                arr[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+            else:
+                arr[ty : ty + ch, tx : tx + cw, k // tiles_per_plane] = tile[:ch, :cw, 0]
         return _array_to_raster_dict(arr, tags)
 
     offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
     counts = [int(v) for v in tags[_T_STRIP_COUNTS]]
+    if planar == 2 and spp > 1:
+        # strips come plane-major (all of sample 0's strips first); each
+        # plane is an (h, w) single-sample image, predictor per plane
+        if len(offsets) % spp != 0:
+            raise ValueError("planar TIFF: strip count not divisible by samples/pixel")
+        per = len(offsets) // spp
+        planes = []
+        for p in range(spp):
+            raw = b"".join(
+                _inflate(buf[o : o + c])
+                for o, c in zip(offsets[p * per : (p + 1) * per], counts[p * per : (p + 1) * per])
+            )
+            plane = np.frombuffer(raw, dtype=dt, count=w * h).reshape(h, w)
+            planes.append(_undo_predictor(plane[:, :, None])[:, :, 0])
+        return _array_to_raster_dict(np.stack(planes, axis=2), tags)
     raw = b"".join(_inflate(buf[o : o + c]) for o, c in zip(offsets, counts))
     arr = np.frombuffer(raw, dtype=dt, count=w * h * spp).reshape(h, w, spp)
     arr = _undo_predictor(arr)

@@ -151,3 +151,107 @@ def test_raster_vector_join(spark):
     assert got.count() == 100
     per_tile = got.groupBy("tile_id").count().collect()
     assert all(r["count"] == 1 for r in per_tile)
+
+
+# -- round 5 (late): planar TIFF (PlanarConfiguration=2) -------------------------
+
+
+def _build_tiff(pixels, planar=1, rows_per_strip=None, byteorder="<"):
+    """Minimal uncompressed TIFF builder (test-local, spec section 8):
+    chunky or plane-major strips."""
+    import struct
+
+    h, w, spp = pixels.shape
+    rps = rows_per_strip or h
+    strips = []
+    if planar == 1:
+        for y0 in range(0, h, rps):
+            strips.append(np.ascontiguousarray(pixels[y0 : y0 + rps]).tobytes())
+    else:
+        for p in range(spp):
+            for y0 in range(0, h, rps):
+                strips.append(np.ascontiguousarray(pixels[y0 : y0 + rps, :, p]).tobytes())
+    entries = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, spp, [8] * spp),
+        (259, 3, 1, [1]), (262, 3, 1, [1]),
+        (273, 4, len(strips), None),  # offsets patched
+        (277, 3, 1, [spp]), (278, 3, 1, [rps]),
+        (279, 4, len(strips), [len(s) for s in strips]),
+        (284, 3, 1, [planar]),
+    ]
+    bo = byteorder
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    ifd_size = 2 + len(entries) * 12 + 4
+    # out-of-line value area after IFD
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+    packed_entries = []
+    typ_fmt = {3: ("H", 2), 4: ("I", 4)}
+    strip_area = None
+    for tag, typ, count, vals in entries:
+        fmt, sz = typ_fmt[typ]
+        if tag == 273:
+            strip_area = extra_base + 1000  # patched after layout known
+            vals = [0] * count
+        total = sz * count
+        if total <= 4:
+            val_bytes = struct.pack(bo + fmt * count, *vals).ljust(4, b"\0")
+            packed_entries.append((tag, typ, count, val_bytes))
+        else:
+            off = extra_base + len(extra)
+            extra += struct.pack(bo + fmt * count, *vals)
+            packed_entries.append((tag, typ, count, struct.pack(bo + "I", off)))
+    data_base = extra_base + len(extra)
+    offs, pos = [], data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    # re-pack the offsets entry with real values
+    final = []
+    for tag, typ, count, val_bytes in packed_entries:
+        if tag == 273:
+            if count * 4 <= 4:
+                val_bytes = struct.pack(bo + "I" * count, *offs).ljust(4, b"\0")
+            else:
+                # place offsets array at a known slot appended to extra
+                off = data_base + sum(len(s) for s in strips)
+                val_bytes = struct.pack(bo + "I", off)
+        final.append((tag, typ, count, val_bytes))
+    out = bytearray(header)
+    out += struct.pack(bo + "H", len(final))
+    for tag, typ, count, val_bytes in final:
+        out += struct.pack(bo + "HHI", tag, typ, count) + val_bytes
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    if len(offs) * 4 > 4:
+        out += struct.pack(bo + "I" * len(offs), *offs)
+    return bytes(out)
+
+
+def test_planar_tiff_matches_chunky():
+    from incubator_sedona_spark.sources.raster_codecs import decode_geotiff
+
+    rng = np.random.RandomState(4)
+    pix = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    chunky = decode_geotiff(_build_tiff(pix, planar=1, rows_per_strip=2))
+    planar = decode_geotiff(_build_tiff(pix, planar=2, rows_per_strip=2))
+    assert chunky["width"] == planar["width"] == 7
+    assert len(planar["bands"]) == 3
+    for b1, b2 in zip(chunky["bands"], planar["bands"]):
+        assert list(b1) == list(b2)
+    # and both equal the source pixels
+    for p in range(3):
+        assert list(planar["bands"][p]) == list(pix[:, :, p].ravel().astype(float))
+
+
+def test_planar_tiff_single_strip_per_plane():
+    from incubator_sedona_spark.sources.raster_codecs import decode_geotiff
+
+    rng = np.random.RandomState(5)
+    pix = rng.randint(0, 256, (4, 4, 2), dtype=np.uint8)
+    d = decode_geotiff(_build_tiff(pix, planar=2))
+    assert len(d["bands"]) == 2
+    for p in range(2):
+        assert list(d["bands"][p]) == list(pix[:, :, p].ravel().astype(float))
