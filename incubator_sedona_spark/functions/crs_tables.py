@@ -112,7 +112,7 @@ def load_builtin_batches(register_tm_crs, register_conic_crs, ellipsoids) -> Non
         register_conic_crs(code, "lcc", lat1, lat2, lat0, lon0, 2000000.0, 500000.0)
 
     # -- SPCS83: NAD83 state planes, meters (NOAA Manual NOS NGS 5 tables) -----
-    # 28 states / 56 zones; LCC 2SP states in _SP_LCC, TM states in _SP_TM.
+    # 27 states / 62 zones (36 LCC 2SP in _SP_LCC + 26 TM in _SP_TM).
     # k0 written as the manual's exact 1 - 1/N form.  NAD83==WGS84 null
     # transform, like the reference's GeoTools default for these codes.
     # Odd false origins are exact unit conversions: 609601.22 m = 2,000,000

@@ -331,10 +331,9 @@ def geodesic_ring_area_exact(ring: np.ndarray) -> float:
     corr = np.remainder(L - dlam_num + np.pi, 2.0 * np.pi) - np.pi
     raw += float(np.sum(corr))
     dlam_total = float(np.sum(dlam_num + corr))
-    return float(abs(raw + dlam_total) * _AUTH_R * _AUTH_R)
+    from incubator_sedona_spark.functions.scalars import _AUTHALIC_R
 
-
-_AUTH_R = 6371007.1809  # WGS84 authalic radius (matches scalars._AUTHALIC_R)
+    return float(abs(raw + dlam_total) * _AUTHALIC_R * _AUTHALIC_R)
 
 
 def geodesic_ring_area(ring: np.ndarray, n: int | None = None) -> float:

@@ -113,7 +113,9 @@ def parse_avi(buf: bytes) -> dict:
                 if buf[p : p + 4] != ckid:
                     raise ValueError("corrupt AVI: idx1 offset matches neither convention")
             frames.append((p + 8, ck_size))
-    else:
+    if not frames:
+        # no idx1, or an idx1 that indexes only other streams (seen from
+        # some muxers): the movi LIST itself is the ground truth
         for fourcc, start, size, _ in _walk_chunks(buf, movi_s, movi_e):
             if fourcc[:2] == prefix and fourcc[2:4] in _VIDEO_CHUNK_SUFFIXES:
                 frames.append((start, size))
@@ -128,6 +130,87 @@ def parse_avi(buf: bytes) -> dict:
 
 
 _MJPEG_CODECS = {"MJPG", "mjpg", "dmb1", "jpeg", "JPEG"}
+
+
+def _std_dht_segment() -> bytes:
+    """ITU-T T.81 Annex K.3 'typical' Huffman tables as one DHT segment.
+
+    The hardware-MJPEG convention (OpenDML 'AVI1') omits DHT from every
+    frame and requires decoders to supply exactly these four tables; the
+    test cross-checks them by stripping the DHT from a JVM-ImageIO JPEG
+    (which writes the same Annex K tables) and asserting bit-identical
+    decode after the splice."""
+    dc_lum = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+    dc_chr = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+    ac_lum_vals = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+    ac_lum = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], ac_lum_vals)
+    ac_chr_vals = [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+    ac_chr = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], ac_chr_vals)
+    body = bytearray()
+    for tc_th, (counts, vals) in (
+        (0x00, dc_lum), (0x10, ac_lum), (0x01, dc_chr), (0x11, ac_chr),
+    ):
+        assert sum(counts) == len(vals)
+        body += bytes([tc_th]) + bytes(counts) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+_STD_DHT = None  # built lazily once
+
+
+def ensure_dht(jpeg: bytes) -> bytes:
+    """Splice the Annex K tables before SOS when a frame carries no DHT
+    (the AVI1/hardware-MJPEG convention); frames with their own tables
+    pass through untouched."""
+    global _STD_DHT
+    i, n = 2, len(jpeg)
+    sos_at = None
+    while i + 4 <= n and jpeg[i] == 0xFF:
+        marker = jpeg[i + 1]
+        if marker == 0xC4:
+            return jpeg  # has its own tables
+        if marker == 0xDA:
+            sos_at = i
+            break
+        if 0xD0 <= marker <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        i += 2 + struct.unpack_from(">H", jpeg, i + 2)[0]
+    if sos_at is None:
+        return jpeg
+    if _STD_DHT is None:
+        _STD_DHT = _std_dht_segment()
+    return jpeg[:sos_at] + _STD_DHT + jpeg[sos_at:]
 
 
 def decode_avi(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
@@ -146,7 +229,7 @@ def decode_avi(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarray
     out = np.empty((len(want), meta["height"], meta["width"], 3), dtype=np.uint8)
     for k, i in enumerate(want):
         off, size = meta["frames"][i]
-        pix = decode_image(buf[off : off + size])
+        pix = decode_image(ensure_dht(buf[off : off + size]))
         if pix.shape[:2] != (meta["height"], meta["width"]):
             raise ValueError(
                 f"corrupt AVI: frame {i} is {pix.shape[1]}x{pix.shape[0]}, "

@@ -179,8 +179,14 @@ def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
-def decode_gif_frames(buf: bytes) -> list[tuple[int, np.ndarray]]:
-    """All composed frames: [(delay_centiseconds, (h, w, 3) uint8), ...]."""
+def decode_gif_frames(
+    buf: bytes, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Composed frames: [(delay_centiseconds, (h, w, 3) uint8), ...].
+
+    ``max_frames`` stops decoding after that many frames — compositing
+    means frame k needs frames 0..k-1, so a sampler requesting up to index
+    i passes max_frames=i+1 and pays O(i), not O(total)."""
     buf = bytes(buf)
     if buf[:6] not in GIF_SIGS:
         raise ValueError(f"not a GIF: signature {buf[:6]!r}")
@@ -243,6 +249,8 @@ def decode_gif_frames(buf: bytes) -> list[tuple[int, np.ndarray]]:
         else:
             region[...] = px
         frames.append((delay, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3:

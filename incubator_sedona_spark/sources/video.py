@@ -85,13 +85,15 @@ def decode_video(buf: bytes, frame_indices: list[int] | None = None) -> np.ndarr
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         # animated GIF: frames are delta-composited over the canvas, so
         # "random access" inherently replays preceding frames — cost is
-        # O(max requested index), the format's own limit, unlike the true
-        # O(sampled) RAWV/AVI paths
+        # O(max requested index + 1) via the max_frames early stop, the
+        # format's own limit, unlike the true O(sampled) RAWV/AVI paths
         from incubator_sedona_spark.sources.gif import decode_gif_frames
 
-        frames = decode_gif_frames(buf)
+        mx = None if frame_indices is None else max(frame_indices) + 1
+        frames = decode_gif_frames(buf, max_frames=mx)
         want = list(range(len(frames))) if frame_indices is None else frame_indices
         return np.stack([frames[i][1] for i in want])
+    if buf[:4] == _RAWV_MAGIC:
         w, h, fps, n = struct.unpack_from("<HHfI", buf, 4)
         sizes = struct.unpack_from("<" + "I" * n, buf, 16)
         offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int) + 16 + 4 * n

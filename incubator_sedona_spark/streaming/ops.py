@@ -209,14 +209,20 @@ def streaming_decontaminate(
         (unsupported), so this mode ships the benchmark grams as ONE
         broadcast collect_set row cross-joined in, and filters row-locally
         with arrays_overlap — no explode of the stream side at all.
-      * ``mode="flagged"`` -> (id_col, gram) hit rows, one per contaminated
-        document per distinct offending n-gram (no aggregation — counts
-        roll up downstream with whatever windowing the caller wants).
+      * ``mode="flagged"`` -> (id_col, gram) hit rows.  A document whose
+        text REPEATS an offending n-gram emits one row per occurrence
+        position (array_distinct collapses repeats within one document
+        row-locally, so duplicates only arise if the same doc_id arrives
+        in multiple stream rows) — deduplicating across the stream would
+        need dropDuplicates state, which grows without bound on an
+        unbounded stream; counts roll up downstream under whatever
+        watermarked window the caller owns.
 
     The benchmark side is a static DataFrame, recomputed per micro-batch
     only if unpersisted — pass a cached/broadcastable benchmark (it is
-    MBs-scale by nature).  State: none; a document is judged solely
-    against the static benchmark, so no watermark is needed.
+    MBs-scale by nature).  State: NONE in either mode (both are stateless
+    row-local projections + a broadcast join), so no watermark is needed
+    and state stores stay empty at any stream length.
     """
     from incubator_sedona_spark.pipeline.decontam import ngrams_col
 
@@ -228,14 +234,21 @@ def streaming_decontaminate(
     )
     if mode == "clean":
         bench_set = bench_grams.agg(F.collect_set("__gram").alias("__bench_grams"))
+        # coalesce: NULL text -> NULL gram array -> NULL overlap; such a
+        # document has no n-grams, so it is CLEAN (batch parity), not dropped
+        overlap = F.coalesce(
+            F.arrays_overlap(ngrams_col(F.col(text_col), n), F.col("__bench_grams")),
+            F.lit(False),
+        )
         return (
             stream.crossJoin(F.broadcast(bench_set))
-            .where(~F.arrays_overlap(ngrams_col(F.col(text_col), n), F.col("__bench_grams")))
+            .where(~overlap)
             .drop("__bench_grams")
         )
     if mode == "flagged":
         grams = stream.select(
-            F.col(id_col), F.explode(ngrams_col(F.col(text_col), n)).alias("__gram")
-        ).dropDuplicates([id_col, "__gram"])
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("__gram"),
+        )
         return grams.join(F.broadcast(bench_grams), "__gram").select(id_col, "__gram")
     raise ValueError(f"mode {mode!r}: clean|flagged")

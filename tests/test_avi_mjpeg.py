@@ -153,3 +153,85 @@ def test_animated_gif_as_video(spark):
     assert [r["frame_idx"] for r in got] == [0, 4]
     assert got[1]["t_s"] == pytest.approx(0.8)
     assert np.array_equal(IM.decode_png(bytes(got[1]["png"])), frames[4])
+
+
+def test_avi1_frames_without_dht_decode(spark, clip):
+    """Hardware-MJPEG ('AVI1'/OpenDML) frames omit Huffman tables; the
+    decoder must supply the T.81 Annex K standard set.  Cross-check: the
+    JVM's JPEG writer emits exactly those tables, so stripping its DHT and
+    splicing ours back must decode BIT-IDENTICALLY."""
+    import numpy as np
+
+    from incubator_sedona_spark.sources.jpeg import decode_jpeg
+
+    frames, jpegs = clip
+
+    def strip_dht(jpeg):
+        out = bytearray(jpeg[:2])
+        i = 2
+        while i + 4 <= len(jpeg) and jpeg[i] == 0xFF:
+            m = jpeg[i + 1]
+            if m == 0xDA:
+                out += jpeg[i:]
+                break
+            seg = jpeg[i : i + 2 + struct.unpack_from(">H", jpeg, i + 2)[0]]
+            if m != 0xC4:
+                out += seg
+            i += len(seg)
+        return bytes(out)
+
+    nodht = [strip_dht(j) for j in jpegs]
+    assert all(b"\xff\xc4" not in n[:200] for n in nodht)
+    for j, n in zip(jpegs, nodht):
+        assert np.array_equal(decode_jpeg(j), decode_jpeg(AV.ensure_dht(n)))
+        assert AV.ensure_dht(j) == j  # frames with tables pass through
+    # end to end: an AVI of table-less frames decodes
+    buf = AV.encode_avi_mjpeg(nodht, 64, 48, fps=12.0)
+    out = AV.decode_avi(buf)
+    for i in range(len(frames)):
+        assert IM.psnr(out[i], frames[i]) >= 40.0
+
+
+def test_idx1_indexing_only_other_streams_falls_back_to_movi(clip):
+    """An idx1 whose entries all belong to another stream (e.g. audio-only
+    indexes from some muxers) must not yield zero frames — the movi LIST
+    is the ground truth."""
+    frames, jpegs = clip
+    buf = bytearray(AV.encode_avi_mjpeg(jpegs, 64, 48, fps=12.0))
+    # rewrite every idx1 entry's chunk id to stream 01 audio ('01wb')
+    idx = bytes(buf).rfind(b"idx1")
+    size = struct.unpack_from("<I", buf, idx + 4)[0]
+    for off in range(idx + 8, idx + 8 + size, 16):
+        buf[off : off + 4] = b"01wb"
+    meta = AV.parse_avi(bytes(buf))
+    assert meta["n_frames"] == 6  # movi fallback found the video chunks
+    out = AV.decode_avi(bytes(buf), [2])
+    assert IM.psnr(out[0], frames[2]) >= 40.0
+
+
+def test_rawv_dispatch_regression():
+    """decode_video must keep decoding RAWV (regression: the GIF branch
+    once swallowed the RAWV dispatch line)."""
+    from incubator_sedona_spark.sources.video import encode_rawv, gen_video
+
+    buf = gen_video(3)
+    out = decode_video(buf, [0, 2])
+    assert out.shape[0] == 2
+    assert probe_video(buf)["n_frames"] == 12
+
+
+def test_gif_max_frames_early_stop():
+    from incubator_sedona_spark.sources import gif as GF
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 5, (8, 8))] for _ in range(10)]
+    buf = GF.encode_gif(frames, delays_cs=[5] * 10)
+    part = GF.decode_gif_frames(buf, max_frames=3)
+    assert len(part) == 3
+    full = GF.decode_gif_frames(buf)
+    for (d1, f1), (d2, f2) in zip(part, full[:3]):
+        assert d1 == d2 and np.array_equal(f1, f2)
+    # decode_video path requests only up to the max wanted index
+    out = decode_video(buf, [0, 2])
+    assert np.array_equal(out[1], frames[2])

@@ -320,12 +320,13 @@ def test_streaming_decontaminate_parity(spark, tmp_path):
     bench_text = " ".join(f"w{i}" for i in range(20))
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5],
             "text": [
                 " ".join(f"w{i}" for i in range(14)),          # contaminated
                 " ".join(f"x{i}" for i in range(20)),          # clean
                 "prefix " + " ".join(f"w{i}" for i in range(5, 19)),  # contaminated
                 "short clean doc",                              # clean (under n)
+                None,                                           # NULL text: clean, must survive
             ],
         }
     )
@@ -351,7 +352,7 @@ def test_streaming_decontaminate_parity(spark, tmp_path):
     batch_hits = {r["doc_id"] for r in decontaminate(batch, bench, n=13).collect()}
     assert batch_hits == {1, 3}
     clean_ids = {r.doc_id for r in spark.sql("SELECT doc_id FROM decon_clean").collect()}
-    assert clean_ids == {2, 4}
+    assert clean_ids == {2, 4, 5}  # incl. the NULL-text doc (no n-grams = clean)
     flagged = spark.sql("SELECT * FROM decon_flagged").collect()
     assert {r.doc_id for r in flagged} == batch_hits
     # per-doc distinct-gram counts equal the batch n_hits

@@ -19,7 +19,7 @@ def build(out_path: str | None = None) -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(repo, "incubator_sedona_spark")
     out = out_path or os.path.join(repo, "dist", "incubator_sedona_spark.zip")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
