@@ -68,10 +68,16 @@ def decontaminate(
         )
         .distinct()
     )
+    # per-document dedup is ROW-LOCAL (array_distinct before the explode):
+    # a corpus-wide .distinct() here would shuffle every (id, gram) pair —
+    # the exact shuffle this operator's design avoids.  A document repeats
+    # each distinct n-gram at most once after this, so the post-join count
+    # is the distinct-shared-gram count with zero corpus-side Exchange
+    # before the broadcast join.
     corpus_grams = corpus.select(
         F.col(id_col),
-        F.explode(ngrams_col(F.col(text_col), n)).alias("__gram"),
-    ).distinct()
+        F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("__gram"),
+    )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gram")
         .groupBy(id_col)

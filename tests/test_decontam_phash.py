@@ -129,6 +129,13 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame(pd.DataFrame({"text": ["alpha beta " * 10]}))
     plan = DC.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # exactly two hash Exchanges in the whole plan: the BENCHMARK side's
+    # distinct (tiny by design) and the final per-doc hit aggregation of
+    # the contaminated subset.  The corpus scan itself flows into the
+    # broadcast join shuffle-free (per-doc gram dedup is row-local
+    # array_distinct, not a corpus-wide .distinct() — which would add a
+    # third Exchange over every (id, gram) pair and show up here).
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_phash_plan_is_python_free(spark):
