@@ -133,3 +133,26 @@ def test_corrupt_inputs_fail_loud():
         GF.decode_gif(b"NOTAGIF" + bytes(buf[7:]))
     with pytest.raises(ValueError):
         GF.decode_gif(bytes(buf[: len(buf) // 2]))  # truncated mid-stream
+
+
+# -- property fuzz -----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ncolors=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_fuzz(h, w, ncolors, interlace, seed):
+    """Any palette size x any geometry x interlace: encode->decode is the
+    identity (GIF is lossless given a palette)."""
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    pix = pal[rng.randint(0, ncolors, (h, w))]
+    assert np.array_equal(GF.decode_gif(GF.encode_gif(pix, interlace=interlace)), pix)
