@@ -867,6 +867,25 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup via winnowing fingerprints (Lee et al. 2022
+    criterion, MOSS selection — dedup.substring_dup_pairs).  A doc_id % 5
+    subset of the corpus (the tiny synthetic vocabulary makes 40-char
+    substring collisions common enough already) plus planted containment:
+    every doc_id % 15 == 0 document gets a companion holding chars 10..160
+    of its text (id + 20,000,000); the winnowing arithmetic (md5-hex-prefix
+    gram hashes, window min) replays identically in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = d.where(F.col("doc_id") % 5 == 0)
+    planted = d.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.substring("text", 10, 151).alias("text"),
+    )
+    pool = sub.unionByName(planted)
+    got = DD.substring_dup_pairs(pool, min_len=40, k=12)
+    return got.select("id_a", "id_b", F.col("n_shared_fp").cast("long").alias("n_shared_fp"))
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_sedona_spark.pipeline.text import bpe_ish_token_count_col
 
@@ -1072,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
         "image_phash_pairs": q_image_phash_pairs,
@@ -1371,6 +1391,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
+        """,
+        # dedup.substring_dup_pairs: winnowing (k=8 gram md5-prefix hashes,
+        # window-13 min, distinct) replayed laterally; planted containment
+        # mirrors the Spark construction
+        "doc_substring_pairs": """
+            WITH pool AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 20000000, substr(text, 10, 151)
+              FROM documents WHERE doc_id % 15 = 0
+            ),
+            fp AS (
+              SELECT doc_id, fp FROM (
+                SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(0, length(text) - 12 + 1 - 29 + 1)),
+                  j -> list_min(list_transform(generate_series(j, j + 28),
+                       i -> ('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT))
+                )) AS fps
+                FROM pool WHERE length(text) >= 40
+              ), UNNEST(fps) AS u(fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fp
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         # decontam.py: tokenization is one shared regex; DuckDB rebuilds the
         # same 13-grams laterally (t[i:i+12] is 13 elements, 1-based

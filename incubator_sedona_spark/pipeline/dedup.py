@@ -498,6 +498,98 @@ def phash_dup_pairs(
     )
 
 
+def winnow_fingerprints(
+    text: Column, k: int = 8, window: int = 13, hash_hex_chars: int = 15
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every k-char gram, take the MIN hash of each
+    sliding window of ``window`` consecutive gram hashes, distinct the
+    selected values.
+
+    GUARANTEE (the paper's): two documents sharing any exact substring of
+    length >= k + window - 1 characters share at least one selected
+    fingerprint — deterministic recall, unlike mod-p sampling.  The hash is
+    the first ``hash_hex_chars`` hex chars of md5 (60 bits by default) so
+    DuckDB replays the arithmetic byte-identically (same trick as
+    pipeline/packing.py's bucket hash); at 60 bits cross-doc collisions
+    are ~n^2/2^61 — quantified, not assumed away.
+
+    All array expressions (transform/slice/array_min/array_distinct) are
+    JVM-side; per-doc cost is O(chars * window) — at deployment scale pass
+    a larger k/window (fingerprint density ~2/(window+1)).
+
+    NOTE: the gram-hash array is wrapped in a single aggregate() pass-through
+    so Catalyst cannot re-inline the O(chars) md5 transform into every one
+    of the O(chars) window lambdas (CollapseProject/codegen would otherwise
+    evaluate it O(chars^2 * window) times — measured 60x slower)."""
+    n_grams = F.length(text) - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), n_grams)),
+        lambda i: F.conv(
+            F.substring(F.md5(text.substr(i, F.lit(k)).cast("binary")), 1, hash_hex_chars),
+            16, 10,
+        ).cast("long"),
+    )
+
+    def _mins(h: Column) -> Column:
+        n_windows = F.size(h) - window + 1
+        return F.when(n_windows < 1, F.array().cast("array<long>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(1), n_windows)),
+                    lambda j: F.array_min(F.slice(h, j, window)),
+                )
+            )
+        )
+
+    # aggregate's accumulator materializes `hashes` exactly once per row;
+    # the finish lambda then sees it as a bound variable, not an inlinable
+    # expression tree
+    return F.aggregate(
+        F.array(F.lit(1)),
+        hashes,
+        lambda acc, _x: acc,
+        lambda acc: _mins(acc),
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    k: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact-substring near-dup pairs (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' — the substring-overlap
+    criterion, detected with winnowing instead of a distributed suffix
+    array): documents sharing any exact substring of >= min_len chars
+    share a winnowed fingerprint (deterministic recall, see
+    winnow_fingerprints), candidates equi-join on the fingerprint and the
+    output reports the distinct shared-fingerprint count per pair.
+
+    Plan shape: ids+fingerprint-only shuffle (the text never moves),
+    map-side distinct via array_distinct, cappable hot buckets — the same
+    scale discipline as the minhash/simhash/phash paths."""
+    window = min_len - k + 1
+    if window < 1:
+        raise ValueError(f"min_len {min_len} must be >= k ({k})")
+    fp = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, window=window)).alias("__fp"),
+    )
+    fp = _cap_buckets(fp, ["__fp"], max_bucket_size)
+    a = fp.select(F.col(id_col).alias("id_a"), "__fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -149,3 +149,88 @@ def test_phash_plan_is_python_free(spark):
     plan = phash_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
         assert bad not in plan, plan
+
+
+# -- winnowing / exact-substring dedup ------------------------------------------
+
+
+def test_winnowing_guarantee_and_specificity(spark):
+    """MOSS guarantee: documents sharing an exact substring of length
+    >= min_len MUST pair; disjoint-content documents must not."""
+    from incubator_sedona_spark.pipeline.dedup import substring_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 45 chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "AAAA " + shared + " BBBB",
+                "CCCCCCC " + shared + " DD",
+                "entirely different material with zero overlap at all whatsoever",
+                "xy",  # under min_len: contributes nothing
+            ],
+        }
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in substring_dup_pairs(
+            spark.createDataFrame(docs), min_len=40, k=12
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_winnowing_matches_duckdb_replay(spark):
+    """The md5-prefix winnowing arithmetic replays byte-identically in
+    DuckDB (the cross-engine property the gate oracle relies on)."""
+    import duckdb
+
+    from incubator_sedona_spark.pipeline.dedup import substring_dup_pairs
+
+    rng = np.random.RandomState(8)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                " ".join(words[i] for i in rng.randint(0, 5, 30)) for _ in range(30)
+            ],
+        }
+    )
+    spark_pairs = {
+        (r.id_a, r.id_b, r.n_shared_fp)
+        for r in substring_dup_pairs(
+            spark.createDataFrame(docs), min_len=20, k=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("d", docs)
+    duck_pairs = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH fp AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(0, length(text) - 8 + 1 - 13 + 1)),
+              j -> list_min(list_transform(generate_series(j, j + 12),
+                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT))
+            )) AS fps FROM d WHERE length(text) >= 20
+          ), UNNEST(fps) AS u(fp)
+        )
+        SELECT a.doc_id, b.doc_id, count(*) FROM fp a
+        JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert spark_pairs == duck_pairs and len(spark_pairs) > 0
+
+
+def test_winnowing_min_len_guard():
+    from incubator_sedona_spark.pipeline.dedup import substring_dup_pairs
+
+    with pytest.raises(ValueError, match="min_len"):
+        substring_dup_pairs(None, min_len=5, k=8)
