@@ -252,3 +252,57 @@ def streaming_decontaminate(
         )
         return grams.join(F.broadcast(bench_grams), "__gram").select(id_col, "__gram")
     raise ValueError(f"mode {mode!r}: clean|flagged")
+
+
+def streaming_substring_screen(
+    stream: DataFrame,
+    reference: DataFrame,
+    min_len: int = 40,
+    k: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    mode: str = "clean",
+) -> DataFrame:
+    """Exact-substring screening of a document STREAM against a static
+    reference corpus (copyright/leak filtering — the streaming face of
+    pipeline/dedup.substring_dup_pairs): a stream document sharing any
+    exact substring of >= min_len chars with any reference document is
+    flagged (MOSS winnowing guarantee, deterministic recall).
+
+    Same stateless shapes as streaming_decontaminate: ``clean`` filters
+    row-locally against the broadcast collect_set of reference
+    fingerprints (arrays_overlap, NULL text = clean); ``flagged`` emits
+    (id_col, fingerprint) hits via the stream-static equi-join.  State:
+    none in either mode.
+    """
+    from incubator_sedona_spark.pipeline.dedup import winnow_fingerprints
+
+    window = min_len - k + 1
+    if window < 1:
+        raise ValueError(f"min_len {min_len} must be >= k ({k})")
+    ref_fp = (
+        reference.select(
+            F.explode(
+                winnow_fingerprints(F.col(ref_text_col or text_col), k=k, window=window)
+            ).alias("__fp")
+        )
+        .distinct()
+    )
+    if mode == "clean":
+        ref_set = ref_fp.agg(F.collect_set("__fp").alias("__ref_fps"))
+        overlap = F.coalesce(
+            F.arrays_overlap(
+                winnow_fingerprints(F.col(text_col), k=k, window=window),
+                F.col("__ref_fps"),
+            ),
+            F.lit(False),
+        )
+        return stream.crossJoin(F.broadcast(ref_set)).where(~overlap).drop("__ref_fps")
+    if mode == "flagged":
+        fps = stream.select(
+            F.col(id_col),
+            F.explode(winnow_fingerprints(F.col(text_col), k=k, window=window)).alias("__fp"),
+        )
+        return fps.join(F.broadcast(ref_fp), "__fp").select(id_col, "__fp")
+    raise ValueError(f"mode {mode!r}: clean|flagged")

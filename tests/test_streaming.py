@@ -361,3 +361,45 @@ def test_streaming_decontaminate_parity(spark, tmp_path):
     per_doc = Counter(r.doc_id for r in flagged)
     batch_counts = {r["doc_id"]: r["n_hits"] for r in decontaminate(batch, bench, n=13).collect()}
     assert dict(per_doc) == batch_counts
+
+
+def test_streaming_substring_screen(spark, tmp_path):
+    """Stream-static substring screening: a stream doc containing a >=40-char
+    verbatim passage from the reference corpus is removed from 'clean' and
+    appears in 'flagged'; batch parity vs substring_dup_pairs."""
+    import pandas as pd
+
+    from incubator_sedona_spark.streaming.ops import streaming_substring_screen
+
+    passage = "for score and seven years ago our fathers brought forth a new nation"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "INTRO " + passage + " OUTRO",       # contains the passage: flagged
+                "fresh original writing with nothing shared beyond single words here",
+                None,                                  # NULL: clean
+            ],
+        }
+    )
+    src = str(tmp_path / "screen_src")
+    spark.createDataFrame(docs).write.parquet(src)
+    ref = spark.createDataFrame(pd.DataFrame({"text": ["... " + passage + " ..."]}))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q1 = (
+        streaming_substring_screen(stream, ref)
+        .writeStream.format("memory").queryName("screen_clean")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    q2 = (
+        streaming_substring_screen(stream, ref, mode="flagged")
+        .writeStream.format("memory").queryName("screen_flagged")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    clean = {r.doc_id for r in spark.sql("SELECT doc_id FROM screen_clean").collect()}
+    flagged = {r.doc_id for r in spark.sql("SELECT DISTINCT doc_id FROM screen_flagged").collect()}
+    assert clean == {2, 3}
+    assert flagged == {1}
