@@ -125,18 +125,20 @@ def repetition_stats(
     counts = base.groupBy(
         id_col, "n_tokens", "dup_token_frac", "dup_line_frac", "__bg"
     ).agg(F.count("*").alias("__cnt"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cnt"), F.asc("__bg"))
-    return (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            id_col,
-            "n_tokens",
-            "dup_token_frac",
-            "dup_line_frac",
-            F.col("__bg").alias("top_bigram"),
-            (2.0 * F.col("__cnt") / F.col("n_tokens")).alias("top_bigram_frac"),
-        )
+    # top bigram via min_by over struct(-count, bigram): picks max count,
+    # then lexicographically smallest bigram — one hash aggregate instead
+    # of a window sort (same two Exchanges, no per-partition sort)
+    top = counts.groupBy(id_col, "n_tokens", "dup_token_frac", "dup_line_frac").agg(
+        F.min_by(
+            F.struct(F.col("__cnt"), F.col("__bg")),
+            F.struct((-F.col("__cnt")).alias("nc"), F.col("__bg")),
+        ).alias("__top")
+    )
+    return top.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "dup_line_frac",
+        F.col("__top.__bg").alias("top_bigram"),
+        (2.0 * F.col("__top.__cnt") / F.col("n_tokens")).alias("top_bigram_frac"),
     )
