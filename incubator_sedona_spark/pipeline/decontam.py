@@ -40,13 +40,28 @@ def normalized_tokens_col(text: Column) -> Column:
 
 
 def ngrams_col(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when under n tokens)."""
-    toks = normalized_tokens_col(text)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Array of space-joined word n-grams (empty when under n tokens).
+
+    The token array is barriered through a single-element aggregate() so
+    Catalyst cannot re-inline the O(chars) regexp+split tokenization into
+    every gram lambda — the collapse class dedup.winnow_fingerprints hit
+    (measured 9x there).  Here the A/B measured NEUTRAL (token arrays are
+    short and the tokenize is cheap relative to the join), so this is a
+    defensive invariant, not a claimed speedup."""
+
+    def _grams(t: Column) -> Column:
+        return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            )
         )
+
+    return F.aggregate(
+        F.array(F.lit(1)),
+        normalized_tokens_col(text),
+        lambda acc, _x: acc,
+        lambda acc: _grams(acc),
     )
 
 
