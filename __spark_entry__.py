@@ -886,6 +886,25 @@ def q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("id_a", "id_b", F.col("n_shared_fp").cast("long").alias("n_shared_fp"))
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (operators/sessions.py):
+    a > 30-minute silence starts a new session (exactly 30 min still
+    extends — session_window parity semantics); per-session event counts
+    and [t_start, t_end] in truncated epoch seconds (Spark's
+    cast(timestamp as long) == DuckDB floor(epoch(ts)))."""
+    from incubator_sedona_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    got = sessionize(ev, 1800, tiebreak_col="event_id")
+    return got.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "t_start",
+        "t_end",
+    )
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_sedona_spark.pipeline.text import bpe_ish_token_count_col
 
@@ -1091,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "cell_count_ledger": q_cell_count_ledger,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "event_sessions": q_event_sessions,
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
@@ -1391,6 +1411,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
+        """,
+        # operators/sessions.sessionize: identical lag/cumsum windows; the
+        # second-granularity clock is Spark's cast(ts as long) == DuckDB's
+        # floor(epoch(ts)) (both truncate positive epochs)
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, sec,
+                     CASE WHEN lag(sec) OVER w IS NULL
+                               OR sec - lag(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), s AS (
+              SELECT user_id, sec,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(sec) AS t_start, max(sec) AS t_end
+            FROM s GROUP BY 1, 2
         """,
         # dedup.substring_dup_pairs: winnowing (k=8 gram md5-prefix hashes,
         # window-13 min, distinct) replayed laterally; planted containment
