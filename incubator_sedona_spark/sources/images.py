@@ -96,6 +96,14 @@ def decode_image(buf: bytes) -> np.ndarray:
         from incubator_sedona_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(buf)
+    if head[:2] == b"BM":
+        if _HAS_PIL:
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+        from incubator_sedona_spark.sources.bmp import decode_bmp
+
+        return decode_bmp(buf)
     if head[:6] in (b"GIF87a", b"GIF89a"):
         if _HAS_PIL:
             import io
