@@ -889,9 +889,10 @@ def q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (operators/sessions.py):
     a > 30-minute silence starts a new session (exactly 30 min still
-    extends — session_window parity semantics); per-session event counts
-    and [t_start, t_end] in truncated epoch seconds (Spark's
-    cast(timestamp as long) == DuckDB floor(epoch(ts)))."""
+    extends — session_window parity semantics), measured at FULL
+    microsecond precision (Spark cast(ts as double) == DuckDB epoch(ts):
+    both are microseconds/1e6 in binary double); reported [t_start,
+    t_end] truncate to whole epoch seconds."""
     from incubator_sedona_spark.operators.sessions import sessionize
 
     ev = _t(spark, sf_dir, "events")
@@ -1412,26 +1413,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
             FROM documents
         """,
-        # operators/sessions.sessionize: identical lag/cumsum windows; the
-        # second-granularity clock is Spark's cast(ts as long) == DuckDB's
-        # floor(epoch(ts)) (both truncate positive epochs)
+        # operators/sessions.sessionize: identical lag/cumsum windows at
+        # FULL microsecond precision — Spark cast(ts as double) == DuckDB
+        # epoch(ts) (both compute microseconds/1e6 in binary double);
+        # bounds truncate after assignment
         "event_sessions": """
             WITH e AS (
-              SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events
+              SELECT user_id, event_id, epoch(ts) AS dsec FROM events
             ), flagged AS (
-              SELECT user_id, event_id, sec,
-                     CASE WHEN lag(sec) OVER w IS NULL
-                               OR sec - lag(sec) OVER w > 1800
+              SELECT user_id, event_id, dsec,
+                     CASE WHEN lag(dsec) OVER w IS NULL
+                               OR dsec - lag(dsec) OVER w > 1800
                           THEN 1 ELSE 0 END AS new_s
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY dsec, event_id)
             ), s AS (
-              SELECT user_id, sec,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+              SELECT user_id, dsec,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY dsec, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM flagged
             )
             SELECT user_id, session_seq, count(*) AS n_events,
-                   min(sec) AS t_start, max(sec) AS t_end
+                   floor(min(dsec))::BIGINT AS t_start,
+                   floor(max(dsec))::BIGINT AS t_end
             FROM s GROUP BY 1, 2
         """,
         # dedup.substring_dup_pairs: winnowing (k=8 gram md5-prefix hashes,

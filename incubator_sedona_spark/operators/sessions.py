@@ -43,13 +43,15 @@ def sessionize(
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    # NTZ timestamps route through LTZ (the engine session pins
-    # spark.sql.session.timeZone=UTC — session.py:42 — so naive == UTC,
-    # matching DuckDB's epoch() semantics); truncation to whole seconds
-    sec = F.col(ts_col).cast("timestamp").cast("long")
-    prev = F.lag(sec).over(w)
+    # Gaps are measured at FULL timestamp precision (sub-second events
+    # otherwise diverge from session_window, which never truncates); NTZ
+    # routes through LTZ under the engine's pinned UTC session
+    # (session.py:42, naive == UTC == DuckDB epoch()).  Both engines
+    # compute microseconds / 1e6 in binary double — identical values.
+    dsec = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(dsec).over(w)
     new_session = F.when(
-        prev.isNull() | (sec - prev > gap_seconds), F.lit(1)
+        prev.isNull() | (dsec - prev > gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))
     with_sess = df.withColumn("__new", new_session).withColumn(
         "session_seq",
@@ -57,10 +59,12 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # reported bounds truncate to whole seconds AFTER the full-precision
+    # session assignment (floor(min) == min(floor) for positive epochs)
     return with_sess.groupBy(user_col, "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.min(sec).alias("t_start"),
-        F.max(sec).alias("t_end"),
+        F.floor(F.min(dsec)).cast("long").alias("t_start"),
+        F.floor(F.max(dsec)).cast("long").alias("t_end"),
     )
 
 

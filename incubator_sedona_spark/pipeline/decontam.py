@@ -93,10 +93,14 @@ def decontaminate(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("__gram"),
     )
+    # count_distinct (not count) so a duplicated corpus ROW for one doc_id
+    # (an upstream union re-reading a partition) cannot double-count: the
+    # distinct runs over the post-join CONTAMINATED subset only — tiny —
+    # never over the corpus
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gram")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("__gram").alias("n_hits"))
     )
 
 

@@ -523,12 +523,17 @@ def winnow_fingerprints(
     of the O(chars) window lambdas (CollapseProject/codegen would otherwise
     evaluate it O(chars^2 * window) times — measured 60x slower)."""
     n_grams = F.length(text) - k + 1
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), n_grams)),
-        lambda i: F.conv(
-            F.substring(F.md5(text.substr(i, F.lit(k)).cast("binary")), 1, hash_hex_chars),
-            16, 10,
-        ).cast("long"),
+    # guard BEFORE sequence: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], not empty (unlike DuckDB generate_series) — without this a
+    # sub-k text would fabricate two out-of-range gram hashes
+    hashes = F.when(n_grams < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(text.substr(i, F.lit(k)).cast("binary")), 1, hash_hex_chars),
+                16, 10,
+            ).cast("long"),
+        )
     )
 
     def _mins(h: Column) -> Column:

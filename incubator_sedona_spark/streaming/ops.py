@@ -281,15 +281,15 @@ def streaming_substring_screen(
     window = min_len - k + 1
     if window < 1:
         raise ValueError(f"min_len {min_len} must be >= k ({k})")
-    ref_fp = (
-        reference.select(
-            F.explode(
-                winnow_fingerprints(F.col(ref_text_col or text_col), k=k, window=window)
-            ).alias("__fp")
-        )
-        .distinct()
+    ref_fp = reference.select(
+        F.explode(
+            winnow_fingerprints(F.col(ref_text_col or text_col), k=k, window=window)
+        ).alias("__fp")
     )
     if mode == "clean":
+        # no .distinct() here: collect_set dedups map-side for free; a
+        # pre-distinct would add a redundant Exchange over every
+        # reference fingerprint
         ref_set = ref_fp.agg(F.collect_set("__fp").alias("__ref_fps"))
         overlap = F.coalesce(
             F.arrays_overlap(
@@ -304,5 +304,7 @@ def streaming_substring_screen(
             F.col(id_col),
             F.explode(winnow_fingerprints(F.col(text_col), k=k, window=window)).alias("__fp"),
         )
-        return fps.join(F.broadcast(ref_fp), "__fp").select(id_col, "__fp")
+        # the equi-join DOES need distinct reference fingerprints (a
+        # repeated reference fingerprint would fan out hits)
+        return fps.join(F.broadcast(ref_fp.distinct()), "__fp").select(id_col, "__fp")
     raise ValueError(f"mode {mode!r}: clean|flagged")

@@ -129,13 +129,18 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame(pd.DataFrame({"text": ["alpha beta " * 10]}))
     plan = DC.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
-    # exactly two hash Exchanges in the whole plan: the BENCHMARK side's
-    # distinct (tiny by design) and the final per-doc hit aggregation of
-    # the contaminated subset.  The corpus scan itself flows into the
-    # broadcast join shuffle-free (per-doc gram dedup is row-local
-    # array_distinct, not a corpus-wide .distinct() — which would add a
-    # third Exchange over every (id, gram) pair and show up here).
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # exactly three hash Exchanges, all on SMALL relations: the BENCHMARK
+    # side's distinct (tiny by design) and the two stages of the
+    # count_distinct hit aggregation over the POST-JOIN contaminated
+    # subset.  The corpus scan itself must flow into the broadcast join
+    # shuffle-free (per-doc gram dedup is row-local array_distinct) — the
+    # stream-side subtree of the join (the ':-' lines) carries no Exchange.
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    stream_side = [
+        ln for ln in plan.split("BroadcastHashJoin", 1)[1].splitlines()
+        if ln.strip().startswith(":")
+    ]
+    assert stream_side and not any("Exchange" in ln for ln in stream_side), plan
 
 
 def test_phash_plan_is_python_free(spark):
@@ -234,3 +239,28 @@ def test_winnowing_min_len_guard():
 
     with pytest.raises(ValueError, match="min_len"):
         substring_dup_pairs(None, min_len=5, k=8)
+
+
+def test_winnowing_no_false_pairs_for_short_texts(spark):
+    """Regression: Spark's sequence(1, 0) is [1, 0] (descending, not
+    empty) — sub-k texts must not fabricate whole-text fingerprints and
+    falsely pair (found by review, confirmed by execution)."""
+    from incubator_sedona_spark.pipeline.dedup import substring_dup_pairs
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hi", "hi", "hello!!"]})
+    got = substring_dup_pairs(
+        spark.createDataFrame(docs), min_len=9, k=8
+    ).collect()
+    assert got == []
+
+
+def test_decontaminate_duplicate_corpus_rows_do_not_double_count(spark):
+    """Regression: a duplicated corpus row for one doc_id (upstream union
+    re-reading a partition) must not inflate n_hits."""
+    text = " ".join(f"w{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1], "text": [text, text]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"text": [text]}))
+    got = DC.decontaminate(corpus, bench, n=13).collect()
+    assert len(got) == 1 and got[0]["n_hits"] == 3  # not 6

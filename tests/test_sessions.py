@@ -11,7 +11,7 @@ from incubator_sedona_spark.operators.sessions import sessionize, streaming_sess
 
 
 def _ts(sec):
-    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=float(sec))
 
 
 @pytest.fixture()
@@ -65,3 +65,39 @@ def test_streaming_session_window_parity(spark, events, tmp_path):
         for r in sessionize(events, 1800, tiebreak_col="event_id").collect()
     }
     assert stream_got == batch_got and len(batch_got) == 4
+
+
+def test_subsecond_gap_parity(spark, tmp_path):
+    """Regression: gaps are measured at full microsecond precision — a
+    1800.8 s real gap between events whose TRUNCATED seconds differ by
+    exactly 1800 must split in BOTH forms (the truncating batch form
+    merged it while session_window split, breaking parity)."""
+    rows = [
+        (1, 9, _ts(0.1)), (2, 9, _ts(1800.9)),   # real gap 1800.8 > 1800
+        (3, 8, _ts(0.1)), (4, 8, _ts(1800.05)),  # real gap 1799.95 <= 1800
+    ]
+    events = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    )
+    batch = {
+        (r.user_id, r.t_start): (r.n_events, r.t_end)
+        for r in sessionize(events, 1800, tiebreak_col="event_id").collect()
+    }
+    base = int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert batch[(9, base)] == (1, base)            # split
+    assert batch[(9, base + 1800)] == (1, base + 1800)
+    assert batch[(8, base)] == (2, base + 1800)     # merged
+    src = str(tmp_path / "subsec_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+    q = (
+        streaming_sessions(stream, 1800)
+        .writeStream.format("memory").queryName("subsec_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_got = {
+        (r.user_id, r.t_start): (r.n_events, r.t_end)
+        for r in spark.sql("SELECT * FROM subsec_out").collect()
+    }
+    assert stream_got == batch
