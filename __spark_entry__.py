@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from incubator_sedona_spark.cells import Grid
+from incubator_sedona_spark.functions.hexgrid import hex_qr_sql
 from incubator_sedona_spark.functions.st import st_point, st_polygon_from_envelope
 from incubator_sedona_spark.operators.joins import distance_join, range_query, spatial_join
 from incubator_sedona_spark.operators.knn import knn_join, knn_query
@@ -906,6 +907,114 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hex_count_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-analog hexagonal density rollup (functions/hexgrid.py): orders
+    points -> pointy-top axial hex cells (circumradius 5) via cube
+    rounding -> count per cell.  One Project + one hash aggregate; the
+    floor(v+0.5) boundary rule and the lattice constants replay
+    bit-for-bit in DuckDB (hex_qr_sql builds the oracle from the same
+    literals)."""
+    from incubator_sedona_spark.functions import hexgrid as HX
+
+    pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
+    hq, hr = HX.hex_qr_cols(F.col("x"), F.col("y"), 5.0)
+    return (
+        pts.select(hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _pii_injected_text() -> F.Column:
+    """documents.text with deterministic PII appended (0-2 emails, a phone
+    for doc_id % 4 < 2, an IP for doc_id % 5 != 0) — the synthetic corpus
+    carries no PII of its own, so the scrub target is derived from doc_id
+    with integer-only arithmetic DuckDB mirrors verbatim."""
+    k = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact u"),
+        k.cast("string"),
+        F.lit("@mail"),
+        (k % 7).cast("string"),
+        F.lit(".org"),
+    )
+    phone = F.concat(
+        F.lit(" call +"),
+        ((k % 89) + 1).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        (k % 256).cast("string"),
+        F.lit("."),
+        ((k * 7) % 256).cast("string"),
+        F.lit("."),
+        ((k * 13) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(k % 3 >= 1, email).otherwise(F.lit("")),
+        F.when(k % 3 >= 2, email).otherwise(F.lit("")),
+        F.when(k % 4 < 2, phone).otherwise(F.lit("")),
+        F.when(k % 5 != 0, ip).otherwise(F.lit("")),
+    )
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pipeline/scrub.py): per-doc email/phone/IP match
+    counts on the injected text plus md5 of the scrubbed text — the hash
+    pins every replacement byte, so the oracle checks the full rewrite,
+    not just the counts.  Row-local (single Project over the scan)."""
+    from incubator_sedona_spark.pipeline import scrub as SC
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_injected_text().alias("text")
+    )
+    out = SC.scrub_pii(d)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.md5(F.col("text").cast("binary")).alias("scrub_md5"),
+    )
+
+
+_BOILER_A = "cookie banner accept all terms privacy policy continue"
+_BOILER_B = "subscribe newsletter follow us on social media today"
+
+
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide duplicate-paragraph removal (pipeline/
+    paragraphs.py).  Every document is prefixed with one of two 8-token
+    boilerplate blocks (by doc_id parity) — the nav-bar/cookie-banner
+    scenario paragraph dedup exists for; paragraphs are 8-token chunks
+    (the word-soup corpus has no newlines).  Exactly one copy of each
+    boilerplate survives corpus-wide (the min (doc_id, pos) instance);
+    kept text is re-hashed so the oracle pins the surviving bytes."""
+    from incubator_sedona_spark.pipeline.paragraphs import paragraph_dedup
+
+    k = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(k % 2 == 0, F.lit(_BOILER_A)).otherwise(F.lit(_BOILER_B)),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    got = paragraph_dedup(d, split_re=None, chunk_tokens=8, joiner=" ")
+    return got.select(
+        "doc_id",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5(F.col("kept_text").cast("binary")).alias("kept_md5"),
+    )
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_sedona_spark.pipeline.text import bpe_ish_token_count_col
 
@@ -1116,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
         "image_phash_pairs": q_image_phash_pairs,
+        "hex_count_by_cell": q_hex_count_by_cell,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_split": q_doc_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_shards": q_doc_pack_shards,
@@ -1169,6 +1281,75 @@ def _overlay_oracle_sql() -> str:
                round({area_one} - ia, 6) AS diff_area,
                round(2 * {area_one} - 2 * ia, 6) AS sym_area
         FROM p WHERE ia > 0
+    """
+
+
+def _hex_count_oracle_sql() -> str:
+    hq, hr = hex_qr_sql("x", "y", 5.0)
+    return f"""
+        WITH pts AS (
+          SELECT {_lon_sql('o_orderkey')} AS x, {_lat_sql('o_orderkey')} AS y
+          FROM orders
+        )
+        SELECT {hq} AS hq, {hr} AS hr, CAST(count(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY 1, 2
+    """
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from incubator_sedona_spark.pipeline.scrub import pii_sql_exprs
+
+    email = (
+        "' contact u' || CAST(doc_id AS VARCHAR) || '@mail' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.org'"
+    )
+    inj = f"""text
+        || CASE WHEN doc_id % 3 >= 1 THEN {email} ELSE '' END
+        || CASE WHEN doc_id % 3 >= 2 THEN {email} ELSE '' END
+        || CASE WHEN doc_id % 4 < 2 THEN ' call +' || CAST((doc_id % 89) + 1 AS VARCHAR)
+             || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 5 <> 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END"""
+    e = pii_sql_exprs("t")
+    return f"""
+        WITH inj AS (SELECT doc_id, ({inj}) AS t FROM documents)
+        SELECT doc_id,
+               CAST({e['n_email']} AS BIGINT) AS n_email,
+               CAST({e['n_phone']} AS BIGINT) AS n_phone,
+               CAST({e['n_ip']} AS BIGINT) AS n_ip,
+               md5({e['scrubbed']}) AS scrub_md5
+        FROM inj
+    """
+
+
+def _paragraph_dedup_oracle_sql() -> str:
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(
+                   CASE WHEN doc_id % 2 = 0 THEN '{_BOILER_A}'
+                        ELSE '{_BOILER_B}' END || ' ' || text), '\s+') AS toks
+          FROM documents
+        ),
+        inst AS (
+          SELECT doc_id,
+                 CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_total,
+                 i AS pos,
+                 array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS para
+          FROM base, UNNEST(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS t(i)
+        ),
+        k AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(para)
+                                       ORDER BY doc_id, pos) AS rn
+          FROM inst
+        )
+        SELECT doc_id, n_total,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '')) AS kept_md5
+        FROM k GROUP BY doc_id, n_total
     """
 
 
@@ -1543,6 +1724,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pool a JOIN pool b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
+        # hexgrid.py: same double literals, same operation order, same
+        # floor(v+0.5) rounding rule — the cell assignment replays
+        # bit-for-bit (hex_qr_sql is generated from the module constants)
+        "hex_count_by_cell": _hex_count_oracle_sql(),
+        "doc_pii_scrub": _pii_scrub_oracle_sql(),
+        "doc_paragraph_dedup": _paragraph_dedup_oracle_sql(),
         # packing.py: the bucket hash is md5 over the id's string form —
         # byte-identical across Spark and DuckDB, so every packing/split
         # oracle replays the exact engine arithmetic

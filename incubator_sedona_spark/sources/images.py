@@ -401,30 +401,42 @@ def resize_images_df(
     method: str = "bilinear",
     crop: tuple[int, int] | None = None,
     bytes_col: str = "bytes",
+    out_fmt: str = "png",
+    jpeg_quality: int = 85,
 ) -> DataFrame:
-    """Decode -> (optional center crop) -> resize -> re-encode PNG, in ONE
+    """Decode -> (optional center crop) -> resize -> re-encode, in ONE
     mapInPandas pass (pixels never re-cross Arrow between stages — the same
-    fusion discipline as image_features_df).  Output replaces ``bytes``
-    with the PNG and updates w/h/fmt; all other columns pass through."""
+    fusion discipline as image_features_df).  ``out_fmt`` picks the sink
+    codec: 'png' (lossless) or 'jpeg' (real T.81 baseline encoder,
+    sources/jpeg_encode.py — the web-thumbnail shape).  Output replaces
+    ``bytes`` and updates w/h/fmt; all other columns pass through."""
+    if out_fmt not in ("png", "jpeg"):
+        raise ValueError(f"out_fmt must be 'png' or 'jpeg', got {out_fmt!r}")
     fields = [f"{n} {t}" for n, t in
               [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
               if n not in (bytes_col, "w", "h", "fmt")]
     schema = ", ".join(fields + [f"{bytes_col} binary", "w int", "h int", "fmt string"])
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if out_fmt == "jpeg":
+            from incubator_sedona_spark.sources.jpeg_encode import encode_jpeg
+
+            enc = lambda p: encode_jpeg(p, quality=jpeg_quality)  # noqa: E731
+        else:
+            enc = encode_png
         for pdf in batches:
             outs = []
             for buf in pdf[bytes_col]:
                 pix = decode_image(bytes(buf))
                 if crop is not None:
                     pix = center_crop_pixels(pix, crop[1], crop[0])
-                outs.append(encode_png(resize_pixels(pix, out_h, out_w, method)))
+                outs.append(enc(resize_pixels(pix, out_h, out_w, method)))
             out = pdf.drop(columns=[c for c in (bytes_col, "w", "h", "fmt")
                                     if c in pdf.columns])
             out[bytes_col] = outs
             out["w"] = np.int32(out_w)
             out["h"] = np.int32(out_h)
-            out["fmt"] = "png"
+            out["fmt"] = out_fmt
             yield out
 
     return df.mapInPandas(_run, schema=schema)
