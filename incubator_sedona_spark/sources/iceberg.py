@@ -90,23 +90,46 @@ def read_image_table(spark: SparkSession, location: str,
         if as_of_timestamp is not None:
             reader = reader.option("as-of-timestamp", as_of_timestamp)
         return validate_image_schema(reader.format("iceberg").load(location))
+    from .snapshots import SnapshotTable, has_snapshot_log
+
+    if is_path and has_snapshot_log(location):
+        # parquet path with a snapshot log (sources/snapshots.py): full
+        # snapshot-isolation + time-travel semantics, no Iceberg JAR needed
+        return validate_image_schema(
+            SnapshotTable(location).read(
+                spark, snapshot_id=snapshot_id, as_of_timestamp=as_of_timestamp
+            )
+        )
     if snapshot_id is not None or as_of_timestamp is not None:
         raise NotImplementedError(
-            "snapshot/time-travel reads need the Iceberg runtime JAR; "
-            "the parquet fallback has no snapshot log"
+            "snapshot/time-travel reads need the Iceberg runtime JAR or a "
+            "snapshot log (write with snapshot_log=True); this plain parquet "
+            "path has neither"
         )
     return validate_image_schema(spark.read.parquet(location))
 
 
-def write_image_table(df: DataFrame, location: str, mode: str = "append") -> None:
+def write_image_table(
+    df: DataFrame, location: str, mode: str = "append", snapshot_log: bool = False
+) -> None:
     """Write through Iceberg (``writeTo`` with the v2 API) when available,
     parquet otherwise — same partitioning either way (caller pre-partitions;
-    the engine's convention is bucketed/partitioned by cell or phash prefix)."""
+    the engine's convention is bucketed/partitioned by cell or phash prefix).
+
+    ``snapshot_log=True`` on the parquet path commits through the pure-
+    metadata snapshot log (sources/snapshots.py), enabling snapshot-pinned
+    and time-travel reads without the Iceberg runtime."""
     df = canonicalize_image_schema(df)
     spark = df.sparkSession
     is_path = "/" in location or location.endswith(".parquet")
     if not is_path and iceberg_available(spark):
         w = df.writeTo(location)
         (w.append() if mode == "append" else w.createOrReplace())
+        return
+    from .snapshots import SnapshotTable, has_snapshot_log
+
+    if snapshot_log or (is_path and has_snapshot_log(location)):
+        t = SnapshotTable(location)
+        (t.append(df) if mode == "append" else t.overwrite(df))
         return
     df.write.mode("overwrite" if mode != "append" else "append").parquet(location)

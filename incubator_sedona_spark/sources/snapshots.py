@@ -1,0 +1,310 @@
+"""Iceberg-style snapshot log over plain parquet — pure metadata, no JAR.
+
+``sources/iceberg.py`` passes snapshot / time-travel options through to a
+real Iceberg runtime when one is on the classpath, and until now raised
+``NotImplementedError`` on the parquet fallback.  This module closes that
+gap with the actual Iceberg *mechanism* (table-spec v2 concepts, HadoopTables
+layout — both public), implemented as pure metadata over immutable parquet:
+
+    <loc>/data/snap-<id>/part-*.parquet   data files (immutable once committed)
+    <loc>/metadata/manifest-<id>.json     file list + rows + per-column min/max
+    <loc>/metadata/v<N>.json              table metadata: the snapshot log
+    <loc>/metadata/version-hint.text      current-version pointer
+
+Semantics provided — exactly the three things the Iceberg path adds over raw
+parquet (see iceberg.py docstring):
+
+- **snapshot isolation**: a reader resolves one version file and from then on
+  sees an immutable file list; writers commit a NEW version via atomic
+  create (``os.link`` — fails, never overwrites, if a concurrent writer got
+  there first: the HadoopTableOperations rename-commit protocol).
+- **time travel**: ``read(snapshot_id=...)`` / ``read(as_of_timestamp=...)``.
+- **manifest-level min/max pruning**: per-file column stats are collected
+  from parquet FOOTERS on the executors at commit time (one task per file,
+  no data pages — same pattern as ``geoparquet.py``); ``read(prune=...)``
+  drops whole files before Spark ever lists a directory.
+
+Scale shape: driver-side state is O(files) paths+stats per commit — the same
+asymptotics as Iceberg's own manifest lists; data file I/O (stats collection)
+is executor-side.  Appends never rewrite old snapshots, so a 100-TB table
+pays only the metadata of its new files per commit.
+
+Reference semantics target: Sedona reads Iceberg/GeoParquet through ordinary
+Spark sources (`/root/reference/docs/tutorial/sql.md` storage section); the
+snapshot log here is the missing lakehouse layer the north-star input table
+assumes, not a port of reference code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the version this writer was about to."""
+
+
+# stats are kept for these parquet logical types only; binary/nested columns
+# carry no useful range and can be huge
+_STAT_OK = {"int32", "int64", "float", "double", "string", "bool", "date32"}
+
+
+def _metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _version_path(location: str, n: int) -> str:
+    return os.path.join(_metadata_dir(location), f"v{n}.json")
+
+
+def _hint_path(location: str) -> str:
+    return os.path.join(_metadata_dir(location), "version-hint.text")
+
+
+def has_snapshot_log(location: str) -> bool:
+    return os.path.exists(_hint_path(location))
+
+
+def _current_version(location: str) -> int:
+    with open(_hint_path(location)) as f:
+        return int(f.read().strip())
+
+
+def _load_version(location: str, n: int) -> dict:
+    with open(_version_path(location, n)) as f:
+        return json.load(f)
+
+
+def _collect_file_stats(spark: SparkSession, files: list[str]) -> list[dict]:
+    """Per-file row counts + min/max column stats from footers, executor-side.
+
+    One task per file; only footers are read (no data pages).  Returns JSON
+    rows the commit embeds in the manifest.
+    """
+    if not files:
+        return []
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def _stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for fp in pdf["path"]:
+                md = pq.ParquetFile(fp).metadata
+                # per-column (mins, maxs) across row groups; a column keeps a
+                # range only if EVERY group has stats for it (conservative)
+                ranges: dict[str, list] = {}
+                dropped: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if "." in name or name in dropped:
+                            continue  # nested leaf / already disqualified
+                        st = col.statistics
+                        raw_binary = (
+                            st is not None
+                            and st.physical_type == "BYTE_ARRAY"
+                            and str(st.logical_type).lower().startswith("none")
+                        )
+                        if st is None or not st.has_min_max or raw_binary:
+                            dropped.add(name)
+                            ranges.pop(name, None)
+                            continue
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            try:
+                                lo, hi = lo.decode(), hi.decode()
+                            except Exception:
+                                dropped.add(name)
+                                ranges.pop(name, None)
+                                continue
+                        cur = ranges.get(name)
+                        if cur is None:
+                            ranges[name] = [lo, hi]
+                        else:
+                            cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
+                out.append(json.dumps({
+                    "path": fp,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(fp),
+                    "min": {k: v[0] for k, v in ranges.items()},
+                    "max": {k: v[1] for k, v in ranges.items()},
+                }, default=str))
+            yield pd.DataFrame({"stat": out})
+
+    rows = (
+        fdf.repartition(max(len(files), 1))
+        .mapInPandas(_stats, schema="stat string")
+        .collect()
+    )
+    return [json.loads(r["stat"]) for r in rows]
+
+
+class SnapshotTable:
+    """Append-only snapshot log over parquet data files.
+
+    Create implicitly with the first ``append``/``overwrite``; read any
+    committed snapshot forever after (old snapshots are never mutated).
+    """
+
+    def __init__(self, location: str):
+        self.location = location
+
+    # ---------- write path ----------
+
+    def _commit(self, spark: SparkSession, operation: str, new_files: list[str]) -> int:
+        meta_dir = _metadata_dir(self.location)
+        os.makedirs(meta_dir, exist_ok=True)
+        prev_n = _current_version(self.location) if has_snapshot_log(self.location) else 0
+        n = prev_n + 1
+        prev = _load_version(self.location, prev_n) if prev_n else {"snapshots": []}
+
+        manifest_name = f"manifest-{n}.json"
+        with open(os.path.join(meta_dir, manifest_name), "w") as f:
+            json.dump({"files": _collect_file_stats(spark, new_files)}, f)
+
+        if operation == "append" and prev["snapshots"]:
+            manifests = prev["snapshots"][-1]["manifests"] + [manifest_name]
+        else:
+            manifests = [manifest_name]
+        snap = {
+            "snapshot_id": n,
+            "parent_id": prev_n or None,
+            "ts_ms": int(time.time() * 1000),
+            "operation": operation,
+            "manifests": manifests,
+        }
+        meta = {"format_version": 2, "snapshots": prev["snapshots"] + [snap],
+                "current_snapshot_id": n}
+
+        tmp = _version_path(self.location, n) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            # atomic create-if-absent: link() fails with EEXIST if a
+            # concurrent writer committed vN first (never overwrites)
+            os.link(tmp, _version_path(self.location, n))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {n} at {self.location} was committed concurrently; "
+                f"re-read the table and retry the append"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        with open(_hint_path(self.location), "w") as f:
+            f.write(str(n))
+        return n
+
+    def _write_data(self, df: DataFrame, snap_hint: int) -> list[str]:
+        data_dir = os.path.join(
+            self.location, "data", f"snap-{snap_hint}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("error").parquet(data_dir)
+        return sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Commit a new snapshot adding ``df``'s rows. Returns snapshot id."""
+        hint = (_current_version(self.location) if has_snapshot_log(self.location) else 0) + 1
+        files = self._write_data(df, hint)
+        return self._commit(df.sparkSession, "append", files)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit a new snapshot replacing the table contents (old snapshots
+        stay readable — nothing is deleted)."""
+        hint = (_current_version(self.location) if has_snapshot_log(self.location) else 0) + 1
+        files = self._write_data(df, hint)
+        return self._commit(df.sparkSession, "overwrite", files)
+
+    # ---------- read path ----------
+
+    def snapshots(self) -> list[dict]:
+        if not has_snapshot_log(self.location):
+            return []
+        return _load_version(self.location, _current_version(self.location))["snapshots"]
+
+    def _resolve(self, snapshot_id: int | None, as_of_timestamp: int | None) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot log at {self.location}")
+        if snapshot_id is not None and as_of_timestamp is not None:
+            raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            raise ValueError(
+                f"unknown snapshot_id {snapshot_id}; have "
+                f"{[s['snapshot_id'] for s in snaps]}"
+            )
+        if as_of_timestamp is not None:
+            eligible = [s for s in snaps if s["ts_ms"] <= as_of_timestamp]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before ts {as_of_timestamp}; earliest "
+                    f"is {snaps[0]['ts_ms']}"
+                )
+            return eligible[-1]
+        return snaps[-1]
+
+    def _files(self, snap: dict) -> list[dict]:
+        meta_dir = _metadata_dir(self.location)
+        out: list[dict] = []
+        for mname in snap["manifests"]:
+            with open(os.path.join(meta_dir, mname)) as f:
+                out.extend(json.load(f)["files"])
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_timestamp: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (latest by default), optionally pruning whole
+        files by manifest min/max stats.
+
+        ``prune`` maps column -> (lo, hi); a file is skipped iff its recorded
+        range for that column is disjoint from [lo, hi].  Files without stats
+        for the column are KEPT (conservative).  Pruning is a metadata-only
+        optimization: apply the same predicate as a real filter downstream
+        for exactness — this mirrors Iceberg, where manifest pruning narrows
+        the scan and the engine still evaluates the residual predicate.
+        """
+        snap = self._resolve(snapshot_id, as_of_timestamp)
+        files = self._files(snap)
+        if prune:
+            kept = []
+            for f in files:
+                keep = True
+                for col, (lo, hi) in prune.items():
+                    if col in f["min"] and col in f["max"]:
+                        if f["max"][col] < lo or f["min"][col] > hi:
+                            keep = False
+                            break
+                if keep:
+                    kept.append(f)
+            files = kept
+        if not files:
+            raise ValueError(
+                "snapshot has no data files after pruning — relax the prune "
+                "ranges (empty-result reads should filter, not prune)"
+            )
+        return spark.read.parquet(*[f["path"] for f in files])
+
+    def file_stats(self, snapshot_id: int | None = None) -> list[dict]:
+        """The manifest rows (path, rows, bytes, min, max) for a snapshot."""
+        return self._files(self._resolve(snapshot_id, None))

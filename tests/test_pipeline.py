@@ -262,6 +262,10 @@ def test_no_row_data_collect_in_package():
         "pipeline/ann.py",
         # hot_cells_from_ledger: top-k (<= 64) aggregated hot-cell scalars
         "plans/metrics.py",
+        # snapshot commit collects ONE stats row per data file (footer-only,
+        # computed executor-side) — O(files) metadata, the same asymptotics
+        # as Iceberg's own manifest lists
+        "sources/snapshots.py",
     }
     offenders = []
     for p in root.rglob("*.py"):
