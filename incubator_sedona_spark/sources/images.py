@@ -287,13 +287,21 @@ def phash64(pixels: np.ndarray) -> int:
 
 # -- Spark-side plumbing ------------------------------------------------------
 
-def decode_images_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def decode_images_df(
+    df: DataFrame, bytes_col: str = "bytes", auto_orient: bool = False
+) -> DataFrame:
     """Decode image bytes to flat pixel arrays via mapInPandas.
 
     Output schema: input columns + (dec_w int, dec_h int, pixels array<int>)
     with pixels row-major RGB — the engine's analog of the GeoTiff source's
     band-major array<double> ``data`` field (GeotiffSchema.scala:121-200).
     Arrow-batched; the decoded numpy arrays never cross row-by-row.
+
+    ``auto_orient=True`` applies the EXIF Orientation transform (sources/
+    exif.py) inside the same batch, so phones' rotated JPEGs come out
+    upright.  Default off: the reference's ImageIO decode path does not
+    apply EXIF either, and the per-row decoded-pixel invariant vs the
+    reference assumes stored orientation.
     """
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
@@ -308,8 +316,16 @@ def decode_images_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if auto_orient:
+            from .exif import apply_orientation, parse_exif
+
         for pdf in batches:
             dec = [decode_image(b) for b in pdf[bytes_col]]
+            if auto_orient:
+                dec = [
+                    apply_orientation(d, parse_exif(bytes(b))["orientation"])
+                    for d, b in zip(dec, pdf[bytes_col])
+                ]
             pdf = pdf.copy()
             pdf["dec_w"] = [d.shape[1] for d in dec]
             pdf["dec_h"] = [d.shape[0] for d in dec]
