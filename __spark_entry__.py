@@ -1178,6 +1178,60 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (pipeline/retrieval.py): one conditional-sum
+    aggregate for corpus stats (N, avgdl, per-term df), broadcast back over
+    a single-row join, score in whole-stage codegen via array filters (no
+    explode — the corpus never shuffles), TakeOrderedAndProject top-15.
+    Deterministic tie-break (score desc, doc_id asc); the oracle replays
+    the identical Okapi formula in the identical association order."""
+    from incubator_sedona_spark.pipeline.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    got = bm25_topk(d, _BM25_TERMS, k=15)
+    return got.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-20 (pipeline/retrieval.py): explode + combiner-
+    backed hash-agg + top-k — the tokenizer-training precursor.  Shuffle
+    carries (token, partial count) only."""
+    from incubator_sedona_spark.pipeline.retrieval import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order clustering key (partitioning.zvalue_col): level-8
+    interleave of the point's cell coordinates (cell width 100/256 =
+    0.390625 — exactly representable, so floor() agrees bitwise with the
+    oracle), profiled per 1024-wide z-bucket.  Pure Catalyst bit math; the
+    oracle replays the identical shift/and/or expression."""
+    from incubator_sedona_spark.partitioning import zvalue_col
+
+    pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
+    w = 100.0 / 256.0
+    ix = F.floor(F.col("x") / F.lit(w))
+    iy = F.floor(F.col("y") / F.lit(w))
+    z = zvalue_col(ix, iy, 8)
+    return (
+        pts.select(F.shiftright(z, 10).alias("zbucket"), z.alias("zval"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join_pairs": q_pip_join_pairs,
@@ -1232,11 +1286,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_shards": q_doc_pack_shards,
         "doc_pack_nextfit": q_doc_pack_nextfit,
+        "bm25_topk": q_bm25_topk,
+        "vocab_topk": q_vocab_topk,
+        "zorder_profile": q_zorder_profile,
         "overlay_area": q_overlay_area,
         "union_area": q_union_area,
         "buffer_area": q_buffer_area,
         "transform_roundtrip": q_transform_roundtrip,
     }
+
+
+def _zorder_oracle_sql() -> str:
+    from incubator_sedona_spark.partitioning import zvalue_sql
+
+    lon = _SQL_LON.format(k="o_orderkey")
+    lat = _SQL_LAT.format(k="o_orderkey")
+    z = zvalue_sql(
+        f"CAST(floor(({lon}) / 0.390625) AS BIGINT)",
+        f"CAST(floor(({lat}) / 0.390625) AS BIGINT)",
+        8,
+    )
+    return f"""
+        WITH z AS (SELECT {z} AS zval FROM orders)
+        SELECT zval >> 10 AS zbucket,
+               count(*)::BIGINT AS cnt,
+               min(zval) AS zmin,
+               max(zval) AS zmax
+        FROM z GROUP BY zbucket
+    """
+
+
+def _bm25_oracle_sql_entry() -> str:
+    from incubator_sedona_spark.pipeline.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=15)
 
 
 def _lon_sql(k: str) -> str:
@@ -1812,6 +1895,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach) AS component
             FROM walk GROUP BY node
+        """,
+        # partitioning.zvalue_sql: the identical shift/and/or interleave;
+        # cell width 100/256 is a dyadic rational, so the double floor()
+        # agrees bitwise across engines
+        "zorder_profile": _zorder_oracle_sql(),
+        # retrieval.py: same Okapi BM25 formula in the same association
+        # order (stats pass -> broadcast -> score), single-space tokens
+        "bm25_topk": _bm25_oracle_sql_entry(),
+        "vocab_topk": """
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 20
         """,
         "simhash_pairs": _simhash_oracle_sql(),
         "overlay_area": _overlay_oracle_sql(),

@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     # round 5 (late): decontamination + image pHash near-dup
     "doc_decontam",
     "image_phash_pairs",
+    # round 5 (final): BM25 ranked retrieval (stats pass + broadcast score)
+    "bm25_topk",
 ]
 
 
