@@ -192,3 +192,63 @@ def bucketed_cell_join(
     l, r = spark.table(left_table), spark.table(right_table)
     j = l.alias("l").join(r.alias("r"), "cell")
     return j.where(pair_filter) if pair_filter is not None else j
+
+
+# -- Z-order (Morton) clustering ----------------------------------------------
+#
+# The 100-TB file-layout lever the snapshot log's manifest pruning and
+# parquet's native min/max stats both feed on: interleave the bits of the
+# two cell coordinates so that sorting by one long key clusters files
+# spatially in BOTH axes at once (the same technique Delta/Iceberg expose
+# as OPTIMIZE ZORDER BY; public algorithm — Morton 1966).  A box query then
+# overlaps O(perimeter) files instead of O(rows/files) stripes.
+
+def zvalue_col(ix, iy, level: int):
+    """Morton-interleave two ``level``-bit cell indices into one long.
+
+    Pure Catalyst bit math (shift/and/or) — whole-stage codegen, no UDF.
+    Bit b of ix lands at position 2b, of iy at 2b+1.
+    """
+    if not 1 <= level <= 31:
+        raise ValueError(f"level must be 1..31, got {level}")
+    z = F.lit(0).cast("long")
+    for b in range(level):
+        bx = F.shiftright(ix.cast("long"), b).bitwiseAND(F.lit(1))
+        by = F.shiftright(iy.cast("long"), b).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bx, 2 * b)).bitwiseOR(
+            F.shiftleft(by, 2 * b + 1)
+        )
+    return z
+
+
+def zvalue_sql(ix_expr: str, iy_expr: str, level: int) -> str:
+    """The DuckDB twin of ``zvalue_col`` — identical integer bit math, so
+    oracle queries replay the interleave exactly."""
+    if not 1 <= level <= 31:
+        raise ValueError(f"level must be 1..31, got {level}")
+    terms = []
+    for b in range(level):
+        terms.append(f"(((({ix_expr}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({iy_expr}) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol: str,
+    n_files: int,
+) -> None:
+    """Cluster a table by an existing z-value column and write parquet.
+
+    ``repartitionByRange`` gives globally DISJOINT z-ranges per file (range
+    exchange over a sampled boundary set — one shuffle), and the in-file
+    sort keeps row-group stats tight, so both parquet min/max pushdown and
+    the snapshot log's manifest pruning skip every file whose z-range
+    misses the query box's covering z-ranges."""
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
