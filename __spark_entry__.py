@@ -1208,6 +1208,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle (pipeline/packing.epoch_key_col):
+    md5(doc_id || ':' || epoch) as the training-order key, audited via the
+    top-50 of epoch 3's order (TakeOrderedAndProject — no global sort).
+    Same-epoch re-runs are byte-stable; different epochs reorder."""
+    from incubator_sedona_spark.pipeline.packing import epoch_head
+
+    return epoch_head(_t(spark, sf_dir, "documents"), epoch=3, k=50)
+
+
 def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-order clustering key (partitioning.zvalue_col): level-8
     interleave of the point's cell coordinates (cell width 100/256 =
@@ -1289,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "vocab_topk": q_vocab_topk,
         "zorder_profile": q_zorder_profile,
+        "epoch_order": q_epoch_order,
         "overlay_area": q_overlay_area,
         "union_area": q_union_area,
         "buffer_area": q_buffer_area,
@@ -1895,6 +1906,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach) AS component
             FROM walk GROUP BY node
+        """,
+        # packing.epoch_key_col: md5 over the same concatenated string —
+        # byte-identical digests, so the epoch order replays exactly
+        "epoch_order": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':3') AS epoch_key
+            FROM documents
+            ORDER BY epoch_key, doc_id
+            LIMIT 50
         """,
         # partitioning.zvalue_sql: the identical shift/and/or interleave;
         # cell width 100/256 is a dyadic rational, so the double floor()

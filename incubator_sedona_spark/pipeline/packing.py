@@ -40,6 +40,8 @@ __all__ = [
     "stratified_sample",
     "pack_shards",
     "pack_shards_nextfit",
+    "epoch_key_col",
+    "epoch_head",
 ]
 
 # 4 hex chars = 16 bits: 65536 raw values, enough resolution for per-10k
@@ -195,3 +197,38 @@ def pack_shards_nextfit(
         return pdf
 
     return out.groupBy(bucket_col).applyInPandas(_pack, schema=schema_out)
+
+
+def epoch_key_col(id_col: Column, epoch: int) -> Column:
+    """Deterministic per-epoch shuffle key: ``md5(id || ':' || epoch)``.
+
+    Trainers want a DIFFERENT data order every epoch but the SAME order on
+    every re-run/resume of a given epoch; a seeded RNG over a distributed
+    scan cannot give that (partition order is not stable), a content hash
+    can.  Sort (or range-partition) by this key to realize the epoch's
+    order — e.g. ``write_tar_shards(df.withColumn("ek", epoch_key_col(...)),
+    ..., order_by="ek")`` lays shards out in epoch order.
+
+    Cross-engine oracle: ``md5(CAST(id AS VARCHAR) || ':' || epoch)`` —
+    byte-identical in DuckDB/Postgres/Python hashlib.
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    return F.md5(F.concat(id_col.cast("string"), F.lit(f":{epoch}")))
+
+
+def epoch_head(
+    df: DataFrame, epoch: int, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """First ``k`` rows of the epoch's deterministic order (id, epoch_key).
+
+    TakeOrderedAndProject — partial top-k per partition, no global sort;
+    the audit/oracle view of ``epoch_key_col`` (the full epoch order is
+    realized by sorting on the key, which a trainer does shard-locally).
+    """
+    ek = epoch_key_col(F.col(id_col), epoch)
+    return (
+        df.select(F.col(id_col), ek.alias("epoch_key"))
+        .orderBy("epoch_key", id_col)
+        .limit(k)
+    )
