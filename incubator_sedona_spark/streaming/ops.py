@@ -308,3 +308,46 @@ def streaming_substring_screen(
         # repeated reference fingerprint would fan out hits)
         return fps.join(F.broadcast(ref_fp.distinct()), "__fp").select(id_col, "__fp")
     raise ValueError(f"mode {mode!r}: clean|flagged")
+
+
+def streaming_snapshot_sink(
+    stream: DataFrame,
+    location: str,
+    query_name: str = "snapshot-ingest",
+    checkpoint_dir: str | None = None,
+    transform=None,
+):
+    """Commit each microbatch of an image stream as one snapshot-log commit.
+
+    The streaming ingest shape of the north-star table: readStream ->
+    (optional transform, e.g. decode/verify/augment) -> ONE snapshot append
+    per microbatch through sources/snapshots.py.  Every batch becomes an
+    isolated, time-travelable snapshot; a crashed job resumes from the
+    streaming checkpoint and re-commits only unprocessed batches (the
+    foreachBatch epoch id is recorded in the streaming checkpoint, the
+    snapshot log records what actually landed — the two ledgers
+    cross-audit).  Readers pinned to an older snapshot never see a
+    half-written batch: the version file appears only after the batch's
+    data files and manifest are fully durable.
+
+    Returns the configured DataStreamWriter — the caller picks the trigger
+    (``.trigger(availableNow=True)`` for backfill, processingTime for
+    continuous ingest) and calls ``.start()``.
+    """
+    from incubator_sedona_spark.sources.iceberg import canonicalize_image_schema
+    from incubator_sedona_spark.sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(location)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = canonicalize_image_schema(batch_df)
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df)
+
+    writer = stream.writeStream.foreachBatch(_commit).queryName(query_name)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -403,3 +403,56 @@ def test_streaming_substring_screen(spark, tmp_path):
     flagged = {r.doc_id for r in spark.sql("SELECT DISTINCT doc_id FROM screen_flagged").collect()}
     assert clean == {2, 3}
     assert flagged == {1}
+
+
+def test_streaming_snapshot_sink_commits_per_batch(spark, tmp_path):
+    """foreachBatch snapshot ingest: each microbatch lands as one isolated,
+    time-travelable snapshot-log commit; a second availableNow run over new
+    input appends without touching old snapshots."""
+    from incubator_sedona_spark.sources.snapshots import SnapshotTable
+    from incubator_sedona_spark.streaming.ops import streaming_snapshot_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash bigint")
+
+    def _write_batch(name, lo, hi):
+        rows = [("i%03d" % i, bytes([i % 200] * 8), 2, 2, "png",
+                 "c%d" % i, i) for i in range(lo, hi)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    _write_batch("b1", 0, 8)
+    loc = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = streaming_snapshot_sink(stream, loc, checkpoint_dir=ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    t = SnapshotTable(loc)
+    assert t.read(spark).count() == 8
+    n_first = len(t.snapshots())
+    assert n_first >= 1
+
+    # new files arrive; the resumed query (same checkpoint) commits ONLY them
+    _write_batch("b2", 8, 13)
+    _write_batch("b3", 13, 15)
+    run_once()
+    assert t.read(spark).count() == 15
+    snaps = t.snapshots()
+    assert len(snaps) > n_first
+    assert all(s["operation"] == "append" for s in snaps)
+    # the pre-resume snapshot is immutable time travel
+    assert t.read(spark, snapshot_id=snaps[n_first - 1]["snapshot_id"]).count() == 8
+    # a third run with no new input commits nothing
+    run_once()
+    assert len(t.snapshots()) == len(snaps)
