@@ -1208,6 +1208,42 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/raster.rs_zonal_stats_rect): per nation a
+    4x4 band raster (same deterministic formula as raster_stats) aggregated
+    over a nation-dependent rectangle zone by the pixel-CENTER rule — pure
+    Catalyst filter/transform/aggregate; the oracle replays pixel centers,
+    membership, and the fold arithmetic verbatim."""
+    from incubator_sedona_spark.operators import raster as R
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    n = F.col("n_nationkey")
+    idx = F.sequence(F.lit(0), F.lit(15))
+    b1 = F.transform(idx, lambda i: ((n * 31 + i * 7) % 17).cast("double"))
+    r = R.rs_make_empty_raster(
+        1, 4, 4, (n * 10).cast("double"), F.lit(50.0), pixel_size=2.0
+    )
+    r = R.rs_add_band_from_array(r, b1, 1)
+    # xmin slides with n%3 so the INCLUSIVE min boundary lands exactly on a
+    # pixel center for n%3==2; ymax=49 puts the EXCLUSIVE max boundary on
+    # row 0's centers — both half-open rules exercised under the oracle
+    z = R.rs_zonal_stats_rect(
+        r,
+        (n * 10 + 1 + (n % 3)).cast("double"),
+        F.lit(44.0),
+        (n * 10 + 8).cast("double"),
+        F.lit(49.0),
+    )
+    return nat.select(
+        "n_nationkey",
+        z["zcount"].alias("zcount"),
+        F.round(z["zsum"], 6).alias("zsum_r"),
+        z["zmin"].alias("zmin"),
+        z["zmax"].alias("zmax"),
+        F.round(z["zmean"], 6).alias("zmean_r"),
+    )
+
+
 def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch shuffle (pipeline/packing.epoch_key_col):
     md5(doc_id || ':' || epoch) as the training-order key, audited via the
@@ -1300,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "zorder_profile": q_zorder_profile,
         "epoch_order": q_epoch_order,
+        "zonal_stats": q_zonal_stats,
         "overlay_area": q_overlay_area,
         "union_area": q_union_area,
         "buffer_area": q_buffer_area,
@@ -1906,6 +1943,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach) AS component
             FROM walk GROUP BY node
+        """,
+        # raster.rs_zonal_stats_rect: pixel centers, half-open membership,
+        # and fold arithmetic replayed with exact integer/double math
+        "zonal_stats": """
+            WITH px AS (
+              SELECT n_nationkey AS n, i,
+                     ((n_nationkey * 31 + i * 7) % 17)::DOUBLE AS v,
+                     n_nationkey * 10 + 2 * (i % 4) + 1 AS cx,
+                     49 - 2 * (i // 4) AS cy
+              FROM nation, generate_series(0, 15) AS t(i)
+            ), z AS (
+              SELECT n, v FROM px
+              WHERE cx >= n * 10 + 1 + (n % 3) AND cx < n * 10 + 8
+                AND cy >= 44 AND cy < 49
+            )
+            SELECT n AS n_nationkey,
+                   count(*)::BIGINT AS zcount,
+                   round(sum(v), 6) AS zsum_r,
+                   min(v) AS zmin,
+                   max(v) AS zmax,
+                   round(sum(v) / count(*), 6) AS zmean_r
+            FROM z GROUP BY n
         """,
         # packing.epoch_key_col: md5 over the same concatenated string —
         # byte-identical digests, so the epoch order replays exactly
