@@ -161,3 +161,65 @@ def frame_sample_df(
             "mean_r double, mean_g double, mean_b double, png binary"
         ),
     )
+
+
+def scene_cuts_df(
+    df: DataFrame,
+    threshold: float = 30.0,
+    step: int = 1,
+    downsample: int = 1,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Scene-change (hard-cut) detection: one row per video with the cut
+    frame indices and the inter-frame difference profile.
+
+    The standard content-aware rule: a cut at frame i when the mean
+    absolute pixel difference between consecutive COMPARED frames exceeds
+    ``threshold`` (0..255 scale).  ``step`` compares every k-th frame
+    (cost O(n/step) decodes via container random access); ``downsample``
+    subsamples pixels spatially (every d-th row/col) before differencing —
+    at 100 TB the typical config is step=2..5, downsample=4, which cuts
+    decode+diff cost ~step*d^2 x while hard cuts (tens of units of mean
+    diff) stay far above threshold.
+
+    Output: input non-bytes columns + (n_frames int, n_compared int,
+    cut_indices array<int>, max_diff double, mean_diff double).  Videos
+    with fewer than 2 compared frames yield empty cuts and NULL diffs.
+    One mapInPandas pass; frames never cross the Arrow boundary.
+    """
+    if step < 1 or downsample < 1:
+        raise ValueError("step and downsample must be >= 1")
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep]
+        + ["n_frames int", "n_compared int", "cut_indices array<int>",
+           "max_diff double", "mean_diff double"]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, nc, cuts, mx, mu = [], [], [], [], []
+            for buf in pdf[bytes_col]:
+                buf = bytes(buf)
+                meta = probe_video(buf)
+                want = list(range(0, meta["n_frames"], step))
+                frames = decode_video(buf, want)
+                f = frames[:, ::downsample, ::downsample, :].astype(np.int16)
+                nf.append(meta["n_frames"])
+                nc.append(len(want))
+                if len(want) < 2:
+                    cuts.append([]), mx.append(None), mu.append(None)
+                    continue
+                diffs = np.abs(np.diff(f, axis=0)).reshape(len(want) - 1, -1) \
+                    .mean(axis=1)
+                cut_at = [int(want[i + 1]) for i in np.nonzero(diffs > threshold)[0]]
+                cuts.append(cut_at)
+                mx.append(float(diffs.max()))
+                mu.append(float(diffs.mean()))
+            out = pdf.drop(columns=[bytes_col])
+            out["n_frames"], out["n_compared"] = nf, nc
+            out["cut_indices"], out["max_diff"], out["mean_diff"] = cuts, mx, mu
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)

@@ -94,3 +94,59 @@ def test_frame_sample_df(spark):
     frame = V.decode_video(bytes(rows[0][1]), [4])[0]
     assert np.array_equal(decode_png(bytes(r0.png)), frame)
     assert r0.mean_r == pytest.approx(float(frame[:, :, 0].mean()))
+
+
+def test_scene_cuts_planted(spark):
+    """A video with two planted hard cuts: constant gray scenes at 3
+    brightness levels.  Cuts land exactly at the scene boundaries; a clip
+    whose brightness drifts +2/frame (smooth fade) yields no cuts at the
+    same threshold."""
+    import numpy as np
+
+    from incubator_sedona_spark.sources.video import encode_rawv, scene_cuts_df
+
+    h, w = 16, 20
+    scene = lambda lvl, n: np.full((n, h, w, 3), lvl, dtype=np.uint8)
+    frames = np.concatenate([scene(20, 4), scene(120, 3), scene(230, 5)])
+    cutty = encode_rawv(frames, 8.0)
+    smooth = encode_rawv(
+        np.stack([np.full((h, w, 3), 40 + 2 * i, dtype=np.uint8)
+                  for i in range(12)]),
+        8.0,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(cutty)), (2, bytearray(smooth))],
+        "video_id long, bytes binary",
+    )
+    got = {r["video_id"]: r for r in scene_cuts_df(df, threshold=30.0).collect()}
+    assert got[1]["cut_indices"] == [4, 7]
+    assert got[1]["n_frames"] == 12 and got[1]["n_compared"] == 12
+    assert got[1]["max_diff"] == pytest.approx(110.0)  # 230-120
+    assert got[2]["cut_indices"] == []
+    # bytes column is dropped from the output (frames never re-cross Arrow)
+    assert "bytes" not in got[1].asDict()
+
+
+def test_scene_cuts_step_and_downsample(spark):
+    """step=2 compares every other frame (cut indices reported in ORIGINAL
+    frame numbers); downsample keeps constant-scene diffs exact."""
+    import numpy as np
+
+    from incubator_sedona_spark.sources.video import encode_rawv, scene_cuts_df
+
+    scene = lambda lvl, n: np.full((n, 8, 8, 3), lvl, dtype=np.uint8)
+    buf = encode_rawv(np.concatenate([scene(10, 4), scene(200, 4)]), 4.0)
+    df = spark.createDataFrame([(1, bytearray(buf))], "video_id long, bytes binary")
+    got = scene_cuts_df(df, threshold=30.0, step=2, downsample=2).first()
+    assert got["n_compared"] == 4
+    assert got["cut_indices"] == [4]
+    assert got["max_diff"] == pytest.approx(190.0)
+    # single-frame video: no comparisons, NULL diffs
+    one = spark.createDataFrame(
+        [(9, bytearray(encode_rawv(scene(50, 1), 4.0)))],
+        "video_id long, bytes binary",
+    )
+    r1 = scene_cuts_df(one).first()
+    assert r1["cut_indices"] == [] and r1["max_diff"] is None
+    with pytest.raises(ValueError, match="step"):
+        scene_cuts_df(df, step=0)
