@@ -168,7 +168,10 @@ class SnapshotTable:
         n = prev_n + 1
         prev = _load_version(self.location, prev_n) if prev_n else {"snapshots": []}
 
-        manifest_name = f"manifest-{n}.json"
+        # unique name: a writer that loses the version race below must not
+        # have clobbered the winner's manifest (its own becomes unreferenced
+        # metadata, listed by orphan_files)
+        manifest_name = f"manifest-{n}-{uuid.uuid4().hex[:8]}.json"
         with open(os.path.join(meta_dir, manifest_name), "w") as f:
             json.dump({"files": _collect_file_stats(spark, new_files)}, f)
 
@@ -308,3 +311,33 @@ class SnapshotTable:
     def file_stats(self, snapshot_id: int | None = None) -> list[dict]:
         """The manifest rows (path, rows, bytes, min, max) for a snapshot."""
         return self._files(self._resolve(snapshot_id, None))
+
+    # ---------- maintenance ----------
+
+    def orphan_files(self) -> list[str]:
+        """Data files referenced by NO manifest — the residue of commits
+        that wrote data but lost the version race (or crashed before the
+        commit).  The Iceberg maintenance concept (remove_orphan_files);
+        listing only — deletion stays an explicit caller action.  O(files)
+        driver-side metadata, same asymptotics as a manifest read."""
+        meta_dir = _metadata_dir(self.location)
+        referenced: set[str] = set()
+        # only manifests REACHABLE from committed versions count — a losing
+        # writer's manifest exists on disk but references only its orphans
+        reachable: set[str] = set()
+        if has_snapshot_log(self.location):
+            for v in range(1, _current_version(self.location) + 1):
+                if os.path.exists(_version_path(self.location, v)):
+                    for s in _load_version(self.location, v)["snapshots"]:
+                        reachable.update(s["manifests"])
+        for name in reachable:
+            with open(os.path.join(meta_dir, name)) as f:
+                referenced.update(e["path"] for e in json.load(f)["files"])
+        data_dir = os.path.join(self.location, "data")
+        orphans = []
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                p = os.path.join(root, name)
+                if name.endswith(".parquet") and p not in referenced:
+                    orphans.append(p)
+        return sorted(orphans)

@@ -154,3 +154,37 @@ def test_plain_parquet_still_loud_without_log(spark, tmp_path):
     spark.createDataFrame(rows, schema).write.parquet(loc)
     with pytest.raises(NotImplementedError, match="snapshot log"):
         read_image_table(spark, loc, snapshot_id=1)
+
+
+def test_orphan_files_after_lost_race(spark, tmp_path):
+    """A writer that loses the version race leaves data + manifest on disk;
+    neither corrupts the winner, and orphan_files lists exactly the loser's
+    data files."""
+    loc = str(tmp_path / "t6")
+    t = SnapshotTable(loc)
+    t.append(_batch(spark, 0, 10))
+    assert t.orphan_files() == []
+
+    # simulate the loser: its data directory + manifest land, then the
+    # version-2 commit loses the race
+    v2 = os.path.join(loc, "metadata", "v2.json")
+    with open(v2, "w") as f:  # the "winner" (placeholder contents)
+        import json
+
+        json.dump({"format_version": 2, "current_snapshot_id": 1,
+                   "snapshots": SnapshotTable(loc).snapshots()}, f)
+    with pytest.raises(CommitConflictError):
+        t.append(_batch(spark, 10, 20))
+    os.remove(v2)  # retract the placeholder so version 1 is current again
+
+    orphans = t.orphan_files()
+    assert len(orphans) >= 1
+    # the committed snapshot's files are NOT listed as orphans
+    committed = {f["path"] for f in t.file_stats()}
+    assert committed.isdisjoint(set(orphans))
+    # and reads are unaffected by the orphan debris
+    assert t.read(spark).count() == 10
+    # a later successful append still works and doesn't adopt orphans
+    t.append(_batch(spark, 50, 55))
+    assert t.read(spark).count() == 15
+    assert set(t.orphan_files()) == set(orphans)
