@@ -276,6 +276,7 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         as_of_timestamp: int | None = None,
         prune: dict[str, tuple] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read a snapshot (latest by default), optionally pruning whole
         files by manifest min/max stats.
@@ -306,13 +307,74 @@ class SnapshotTable:
                 "snapshot has no data files after pruning — relax the prune "
                 "ranges (empty-result reads should filter, not prune)"
             )
-        return spark.read.parquet(*[f["path"] for f in files])
+        reader = spark.read
+        if merge_schema:
+            # schema evolution across commits (columns added over time):
+            # union the per-file schemas, older files read NULL for new
+            # columns — parquet's native additive-evolution semantics
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[f["path"] for f in files])
 
     def file_stats(self, snapshot_id: int | None = None) -> list[dict]:
         """The manifest rows (path, rows, bytes, min, max) for a snapshot."""
         return self._files(self._resolve(snapshot_id, None))
 
     # ---------- maintenance ----------
+
+    def expire_snapshots(self, keep_last: int, delete: bool = False) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots from the log
+        (Iceberg's expire_snapshots): a new metadata version is committed
+        whose snapshot list is the retained tail — readers pinned to a
+        still-live version file are unaffected (their file lists are
+        immutable); future reads of an expired snapshot_id fail loudly.
+
+        Returns the data files referenced ONLY by expired snapshots (safe
+        to free).  ``delete=True`` also removes them and their now-
+        unreferenced manifests; default is listing-only, matching
+        orphan_files' deletion-stays-explicit policy.
+        """
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        keep_manifests = {m for s in retained for m in s["manifests"]}
+        drop_manifests = {m for s in expired for m in s["manifests"]} - keep_manifests
+
+        meta_dir = _metadata_dir(self.location)
+        freed: list[str] = []
+        for mname in sorted(drop_manifests):
+            with open(os.path.join(meta_dir, mname)) as f:
+                freed.extend(e["path"] for e in json.load(f)["files"])
+
+        n = _current_version(self.location) + 1
+        meta = {"format_version": 2, "snapshots": retained,
+                "current_snapshot_id": retained[-1]["snapshot_id"]}
+        tmp = _version_path(self.location, n) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, _version_path(self.location, n))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {n} at {self.location} was committed concurrently; "
+                f"retry expire_snapshots"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        with open(_hint_path(self.location), "w") as f:
+            f.write(str(n))
+
+        if delete:
+            for p in freed:
+                if os.path.exists(p):
+                    os.remove(p)
+            for mname in drop_manifests:
+                mp = os.path.join(meta_dir, mname)
+                if os.path.exists(mp):
+                    os.remove(mp)
+        return sorted(freed)
 
     def orphan_files(self) -> list[str]:
         """Data files referenced by NO manifest — the residue of commits
@@ -331,7 +393,10 @@ class SnapshotTable:
                     for s in _load_version(self.location, v)["snapshots"]:
                         reachable.update(s["manifests"])
         for name in reachable:
-            with open(os.path.join(meta_dir, name)) as f:
+            mp = os.path.join(meta_dir, name)
+            if not os.path.exists(mp):
+                continue  # manifest removed by expire_snapshots(delete=True)
+            with open(mp) as f:
                 referenced.update(e["path"] for e in json.load(f)["files"])
         data_dir = os.path.join(self.location, "data")
         orphans = []

@@ -188,3 +188,48 @@ def test_orphan_files_after_lost_race(spark, tmp_path):
     t.append(_batch(spark, 50, 55))
     assert t.read(spark).count() == 15
     assert set(t.orphan_files()) == set(orphans)
+
+
+def test_expire_snapshots_and_schema_evolution(spark, tmp_path):
+    loc = str(tmp_path / "t7")
+    t = SnapshotTable(loc)
+    t.append(_batch(spark, 0, 10).coalesce(1))
+    t.append(_batch(spark, 10, 30).coalesce(1))
+    # commit 3 adds a column: schema evolution across snapshots
+    evolved = _batch(spark, 30, 35).withColumn("extra", F.lit("new")).coalesce(1)
+    t.append(evolved)
+
+    # merged-schema read: union schema, old rows NULL for the new column
+    allr = t.read(spark, merge_schema=True)
+    assert set(allr.columns) == {"id", "val", "extra"}
+    assert allr.count() == 35
+    assert allr.where(F.col("extra").isNull()).count() == 30
+
+    # expire all but the last 2 snapshots: in an APPEND lineage newer
+    # snapshots still reference the old files (cumulative manifests), so
+    # nothing is freed — the Iceberg semantics
+    freed = t.expire_snapshots(keep_last=2)
+    assert freed == []
+    assert [s["snapshot_id"] for s in t.snapshots()] == [2, 3]
+    assert t.read(spark, snapshot_id=2).count() == 30
+    # the expired id is gone, loudly
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        t.read(spark, snapshot_id=1)
+
+    # idempotent when nothing to expire; loud on bad args
+    assert t.expire_snapshots(keep_last=5) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+    # an overwrite cuts the lineage: expiring the pre-overwrite snapshots
+    # NOW frees their files (3 data files from snapshots 2+3)
+    t.overwrite(_batch(spark, 500, 504).coalesce(1))
+    freed2 = t.expire_snapshots(keep_last=1, delete=True)
+    assert len(freed2) == 3
+    assert all(not os.path.exists(p) for p in freed2)
+    assert [s["snapshot_id"] for s in t.snapshots()][-1] >= 4
+
+    # appends continue on the compacted log; no orphan debris
+    t.append(_batch(spark, 100, 104).coalesce(1))
+    assert t.read(spark).count() == 8
+    assert t.orphan_files() == []
