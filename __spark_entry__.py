@@ -127,6 +127,24 @@ def q_pip_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("n_nationkey", "o_orderkey")
 
 
+def q_pip_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join under the gate (operators/joins._finish_how —
+    BroadcastIndexJoinExec's LeftAnti coverage): orders points lying in NO
+    zone.  Points are the LEFT side with predicate 'within'; the matched-id
+    back-join plans a native Catalyst left_anti.  Oracle is the NOT EXISTS
+    complement of pip_join_pairs."""
+    zones = _zones(spark, sf_dir, 2.0, 16.0)
+    pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
+    j = spatial_join(
+        pts.select("o_orderkey", "wkb"),
+        zones.select("n_nationkey", "wkb"),
+        "within",
+        grid=GRID_PTS,
+        how="left_anti",
+    )
+    return j.select("o_orderkey")
+
+
 def q_pip_count_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_pip_join_pairs(spark, sf_dir)
@@ -1283,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_pairs": q_pip_join_pairs,
         "pip_join_salted": q_pip_join_salted,
         "pip_count_by_zone": q_pip_count_by_zone,
+        "pip_join_anti": q_pip_join_anti,
         "distance_join_pairs": q_distance_join_pairs,
         "knn_query": q_knn_query,
         "range_box": q_range_box,
@@ -1544,6 +1563,17 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_pairs": pip_pairs,
         "pip_join_salted": pip_salted,
         "pip_count_by_zone": f"SELECT n_nationkey, count(*) AS cnt FROM ({pip_pairs}) GROUP BY n_nationkey",
+        # the NOT EXISTS complement of pip_join_pairs (left_anti coverage)
+        "pip_join_anti": f"""
+            WITH z AS ({zones16}),
+            p AS (SELECT o_orderkey, {lon_o} AS x, {lat_o} AS y FROM orders)
+            SELECT p.o_orderkey FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM z
+              WHERE p.x > z.zxmin AND p.x < z.zxmax
+                AND p.y > z.zymin AND p.y < z.zymax
+            )
+        """,
         "distance_join_pairs": f"""
             WITH c AS (SELECT c_custkey, {lon_c} AS x, {lat_c} AS y FROM customer),
             s AS (SELECT s_suppkey, {lon_s} AS x, {lat_s} AS y FROM supplier)
