@@ -399,8 +399,14 @@ def rs_logical_over(a: Column, b: Column) -> Column:
 #
 # Raster values aggregated per vector zone — the raster<->vector op the
 # reference's footprint join (raster_vector_join above) stops short of.
-# Membership rule: a pixel belongs to the zone iff its CENTER is covered
-# (the GDAL/rasterio default, half-open like the engine's point rule).
+# Membership rule: a pixel belongs to the zone iff its CENTER is in it
+# (the GDAL/rasterio default).  Boundary-coincident centers differ by
+# path, deliberately: the RECT path is half-open [min, max) — adjacent
+# rectangle zones partition a raster with no double counting (the tiling
+# use) — while the GENERAL path uses the geometry kernel's closed
+# covers() (boundary counts), consistent with every other predicate in
+# the engine.  The two agree whenever centers don't sit exactly on a zone
+# edge; tests pin both behaviors.
 
 _ZONAL_FIELDS = ["zcount", "zsum", "zmin", "zmax", "zmean"]
 

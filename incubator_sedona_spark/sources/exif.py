@@ -229,9 +229,15 @@ def exif_df(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         ]
     )
 
+    _NULL_META = {"orientation": 1, "make": None, "model": None,
+                  "datetime": None, "pixel_x": None, "pixel_y": None}
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [parse_exif(bytes(b)) for b in pdf[bytes_col]]
+            # NULL bytes (e.g. metadata-only rows for failed fetches) get
+            # the defaults, per the docstring contract
+            metas = [parse_exif(bytes(b)) if b is not None else _NULL_META
+                     for b in pdf[bytes_col]]
             pdf = pdf.copy()
             pdf["exif_orientation"] = np.array(
                 [m["orientation"] for m in metas], dtype=np.int32

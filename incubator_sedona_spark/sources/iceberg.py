@@ -22,6 +22,8 @@ input_hint shape fails loudly at read time, not deep inside a pipeline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 IMAGE_TABLE_SCHEMA = (
@@ -129,6 +131,19 @@ def write_image_table(
     from .snapshots import SnapshotTable, has_snapshot_log
 
     if snapshot_log or (is_path and has_snapshot_log(location)):
+        if not has_snapshot_log(location) and os.path.isdir(location) and any(
+            f.endswith(".parquet") for f in os.listdir(location)
+        ):
+            # starting a log NEXT TO pre-existing plain parquet would make
+            # those rows invisible to every snapshot read — a silent data
+            # loss shape.  Fail loudly; the migration is an explicit
+            # read-plain + append.
+            raise ValueError(
+                f"{location} already holds plain parquet files; starting a "
+                f"snapshot log would hide them from all reads. Migrate "
+                f"explicitly: df = spark.read.parquet(loc); "
+                f"write_image_table(df, new_loc, snapshot_log=True)"
+            )
         t = SnapshotTable(location)
         (t.append(df) if mode == "append" else t.overwrite(df))
         return

@@ -49,11 +49,6 @@ class CommitConflictError(RuntimeError):
     """A concurrent writer committed the version this writer was about to."""
 
 
-# stats are kept for these parquet logical types only; binary/nested columns
-# carry no useful range and can be huge
-_STAT_OK = {"int32", "int64", "float", "double", "string", "bool", "date32"}
-
-
 def _metadata_dir(location: str) -> str:
     return os.path.join(location, "metadata")
 
@@ -67,17 +62,53 @@ def _hint_path(location: str) -> str:
 
 
 def has_snapshot_log(location: str) -> bool:
-    return os.path.exists(_hint_path(location))
+    # v1.json is checked too: a writer may have crashed after the atomic
+    # version commit but before the hint update — the table exists
+    return os.path.exists(_hint_path(location)) or os.path.exists(
+        _version_path(location, 1)
+    )
 
 
 def _current_version(location: str) -> int:
-    with open(_hint_path(location)) as f:
-        return int(f.read().strip())
+    """Newest committed version: the hint is a fast path, the directory scan
+    is the truth (HadoopTableOperations does the same) — a writer that
+    crashed between the atomic version-file link and the hint update must
+    not brick the table, and a torn/empty hint must not crash readers."""
+    hint = 0
+    try:
+        with open(_hint_path(location)) as f:
+            hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    n = hint
+    while os.path.exists(_version_path(location, n + 1)):
+        n += 1
+    if n == 0 and hint == 0:
+        # hint unreadable and no v1 found by advancing from 0: full scan
+        meta_dir = _metadata_dir(location)
+        if os.path.isdir(meta_dir):
+            for name in os.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    try:
+                        n = max(n, int(name[1:-5]))
+                    except ValueError:
+                        pass
+    return n
 
 
 def _load_version(location: str, n: int) -> dict:
     with open(_version_path(location, n)) as f:
         return json.load(f)
+
+
+def _write_hint(location: str, n: int) -> None:
+    """Atomic hint update (write-temp + rename): readers never observe a
+    truncated/empty hint, and _current_version's scan covers the crash
+    window before this runs."""
+    tmp = _hint_path(location) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, _hint_path(location))
 
 
 def _collect_file_stats(spark: SparkSession, files: list[str]) -> list[dict]:
@@ -161,7 +192,8 @@ class SnapshotTable:
 
     # ---------- write path ----------
 
-    def _commit(self, spark: SparkSession, operation: str, new_files: list[str]) -> int:
+    def _commit(self, spark: SparkSession, operation: str, new_files: list[str],
+                properties: dict | None = None) -> int:
         meta_dir = _metadata_dir(self.location)
         os.makedirs(meta_dir, exist_ok=True)
         prev_n = _current_version(self.location) if has_snapshot_log(self.location) else 0
@@ -186,6 +218,11 @@ class SnapshotTable:
             "operation": operation,
             "manifests": manifests,
         }
+        if properties:
+            # caller-supplied commit metadata (Iceberg snapshot summary
+            # analog) — e.g. the streaming sink stamps (query, epoch_id)
+            # here for exactly-once replay skipping
+            snap["properties"] = dict(properties)
         meta = {"format_version": 2, "snapshots": prev["snapshots"] + [snap],
                 "current_snapshot_id": n}
 
@@ -203,8 +240,7 @@ class SnapshotTable:
             ) from None
         finally:
             os.unlink(tmp)
-        with open(_hint_path(self.location), "w") as f:
-            f.write(str(n))
+        _write_hint(self.location, n)
         return n
 
     def _write_data(self, df: DataFrame, snap_hint: int) -> list[str]:
@@ -218,18 +254,18 @@ class SnapshotTable:
             if f.endswith(".parquet")
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
         """Commit a new snapshot adding ``df``'s rows. Returns snapshot id."""
         hint = (_current_version(self.location) if has_snapshot_log(self.location) else 0) + 1
         files = self._write_data(df, hint)
-        return self._commit(df.sparkSession, "append", files)
+        return self._commit(df.sparkSession, "append", files, properties)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
         """Commit a new snapshot replacing the table contents (old snapshots
         stay readable — nothing is deleted)."""
         hint = (_current_version(self.location) if has_snapshot_log(self.location) else 0) + 1
         files = self._write_data(df, hint)
-        return self._commit(df.sparkSession, "overwrite", files)
+        return self._commit(df.sparkSession, "overwrite", files, properties)
 
     # ---------- read path ----------
 
@@ -296,9 +332,16 @@ class SnapshotTable:
                 keep = True
                 for col, (lo, hi) in prune.items():
                     if col in f["min"] and col in f["max"]:
-                        if f["max"][col] < lo or f["min"][col] > hi:
-                            keep = False
-                            break
+                        try:
+                            if f["max"][col] < lo or f["min"][col] > hi:
+                                keep = False
+                                break
+                        except TypeError:
+                            # stats are JSON-serialized (date/timestamp/
+                            # decimal land as strings); incomparable bounds
+                            # keep the file — pruning stays conservative,
+                            # never wrong or crashing
+                            continue
                 if keep:
                     kept.append(f)
             files = kept
@@ -363,8 +406,7 @@ class SnapshotTable:
             ) from None
         finally:
             os.unlink(tmp)
-        with open(_hint_path(self.location), "w") as f:
-            f.write(str(n))
+        _write_hint(self.location, n)
 
         if delete:
             for p in freed:

@@ -177,13 +177,15 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
                         if not dot:
                             continue
                         ext = ext.lower()
+                        if ext != "txt" and ext not in _IMG_EXTS:
+                            continue  # foreign sidecar member: never read
                         if stem not in samples:
                             samples[stem] = {}
                             order.append(stem)
                         data = tf.extractfile(m).read()
                         if ext == "txt":
                             samples[stem]["caption"] = data.decode("utf-8")
-                        elif ext in _IMG_EXTS:
+                        else:
                             samples[stem]["bytes"] = data
                             samples[stem]["fmt"] = (
                                 "jpeg" if ext == "jpg" else ext

@@ -340,12 +340,23 @@ def streaming_snapshot_sink(
     table = SnapshotTable(location)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after table.append but
+        # before the streaming checkpoint records the epoch replays this
+        # epoch_id on restart.  The snapshot log's commit properties make
+        # the append idempotent — an epoch already stamped in a committed
+        # snapshot of this query is skipped, so rows never land twice.
+        for s in table.snapshots():
+            props = s.get("properties", {})
+            if props.get("query") == query_name and \
+                    props.get("epoch_id") == epoch_id:
+                return
         if transform is not None:
             batch_df = transform(batch_df)
         batch_df = canonicalize_image_schema(batch_df)
         if batch_df.isEmpty():
             return
-        table.append(batch_df)
+        table.append(batch_df,
+                     properties={"query": query_name, "epoch_id": epoch_id})
 
     writer = stream.writeStream.foreachBatch(_commit).queryName(query_name)
     if checkpoint_dir is not None:

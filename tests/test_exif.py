@@ -122,3 +122,14 @@ def test_exif_df_and_auto_orient(spark):
     # default path is unchanged (stored orientation preserved)
     dec0 = {r["image_id"]: r for r in decode_images_df(df).collect()}
     assert (dec0["rot"]["dec_h"], dec0["rot"]["dec_w"]) == (8, 6)
+
+
+def test_exif_df_null_bytes_defaults(spark):
+    df = spark.createDataFrame(
+        [("ok", encode_jpeg(_grad())), ("missing", None)],
+        "image_id string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in exif_df(df).collect()}
+    assert got["missing"]["exif_orientation"] == 1
+    assert got["missing"]["exif_make"] is None
+    assert got["ok"]["exif_orientation"] == 1

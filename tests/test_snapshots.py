@@ -106,14 +106,24 @@ def test_string_stats_prune(spark, tmp_path):
     assert {r["name"] for r in got.collect()} == {"apple", "berry"}
 
 
-def test_commit_conflict_raises(spark, tmp_path):
+def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
+    """The true race: two writers compute the same next version; the loser's
+    atomic link hits the winner's file.  (A version file that simply already
+    exists when a writer starts is adopted by the scan in _current_version —
+    that is recovery, not a conflict.)"""
+    import json as _json
+
+    import incubator_sedona_spark.sources.snapshots as S
+
     loc = str(tmp_path / "t5")
     t = SnapshotTable(loc)
     t.append(_batch(spark, 0, 10))
-    # simulate a concurrent writer winning version 2
-    v2 = os.path.join(loc, "metadata", "v2.json")
-    with open(v2, "w") as f:
-        f.write("{}")
+    # the "winner" lands v2 after this writer has read version 1
+    snaps_v1 = t.snapshots()
+    with open(os.path.join(loc, "metadata", "v2.json"), "w") as f:
+        _json.dump({"format_version": 2, "current_snapshot_id": 1,
+                    "snapshots": snaps_v1}, f)
+    monkeypatch.setattr(S, "_current_version", lambda loc_: 1)
     with pytest.raises(CommitConflictError, match="committed concurrently"):
         t.append(_batch(spark, 10, 20))
 
@@ -166,15 +176,24 @@ def test_orphan_files_after_lost_race(spark, tmp_path):
     assert t.orphan_files() == []
 
     # simulate the loser: its data directory + manifest land, then the
-    # version-2 commit loses the race
-    v2 = os.path.join(loc, "metadata", "v2.json")
-    with open(v2, "w") as f:  # the "winner" (placeholder contents)
-        import json
+    # version-2 commit loses the race (winner's v2 appears after this
+    # writer read version 1 — pinned via _current_version)
+    import json
 
+    import incubator_sedona_spark.sources.snapshots as S
+
+    snaps_v1 = SnapshotTable(loc).snapshots()
+    v2 = os.path.join(loc, "metadata", "v2.json")
+    with open(v2, "w") as f:
         json.dump({"format_version": 2, "current_snapshot_id": 1,
-                   "snapshots": SnapshotTable(loc).snapshots()}, f)
-    with pytest.raises(CommitConflictError):
-        t.append(_batch(spark, 10, 20))
+                   "snapshots": snaps_v1}, f)
+    real_cv = S._current_version
+    S._current_version = lambda loc_: 1
+    try:
+        with pytest.raises(CommitConflictError):
+            t.append(_batch(spark, 10, 20))
+    finally:
+        S._current_version = real_cv
     os.remove(v2)  # retract the placeholder so version 1 is current again
 
     orphans = t.orphan_files()
@@ -233,3 +252,56 @@ def test_expire_snapshots_and_schema_evolution(spark, tmp_path):
     t.append(_batch(spark, 100, 104).coalesce(1))
     assert t.read(spark).count() == 8
     assert t.orphan_files() == []
+
+
+def test_crash_window_recovery_without_hint(spark, tmp_path):
+    """A writer that died between the atomic version link and the hint
+    update must not brick the table: reads scan past the stale hint and
+    the next append continues the version chain."""
+    loc = str(tmp_path / "t8")
+    t = SnapshotTable(loc)
+    t.append(_batch(spark, 0, 5))
+    t.append(_batch(spark, 5, 9))
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    # stale hint (crash before update)
+    with open(hint, "w") as f:
+        f.write("1")
+    assert t.read(spark).count() == 9  # scan finds v2
+    assert t.append(_batch(spark, 9, 12)) == 3
+    # hint missing entirely
+    os.remove(hint)
+    assert has_snapshot_log(loc)
+    assert t.read(spark).count() == 12
+    # torn/empty hint must not crash readers
+    with open(hint, "w") as f:
+        f.write("")
+    assert t.read(spark).count() == 12
+
+
+def test_prune_incomparable_bounds_conservative(spark, tmp_path):
+    """String-serialized stats vs non-string bounds: the file is KEPT
+    (conservative), never a crash or a wrong skip."""
+    loc = str(tmp_path / "t9")
+    t = SnapshotTable(loc)
+    t.append(
+        spark.createDataFrame([("alpha", 1), ("beta", 2)], "name string, v int")
+        .coalesce(1)
+    )
+    got = t.read(spark, prune={"name": (1, 5)})  # int bounds on string stats
+    assert got.count() == 2
+
+
+def test_snapshot_log_refuses_plain_parquet_location(spark, tmp_path):
+    """Starting a snapshot log next to pre-existing plain parquet would hide
+    those rows from every read — must fail loudly, not lose data."""
+    loc = str(tmp_path / "plain2")
+    rows = [("a", b"\x00", 1, 1, "png", "c", 0)]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash bigint"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(loc)
+    with pytest.raises(ValueError, match="hide them from all reads"):
+        write_image_table(
+            spark.createDataFrame(rows, schema), loc, snapshot_log=True
+        )

@@ -456,3 +456,42 @@ def test_streaming_snapshot_sink_commits_per_batch(spark, tmp_path):
     # a third run with no new input commits nothing
     run_once()
     assert len(t.snapshots()) == len(snaps)
+
+
+def test_streaming_snapshot_sink_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; the sink stamps (query, epoch_id) into
+    the snapshot properties and skips already-committed epochs.  Deleting
+    the streaming checkpoint replays the same epochs from scratch — the
+    table must not grow."""
+    import shutil
+
+    from incubator_sedona_spark.sources.snapshots import SnapshotTable
+    from incubator_sedona_spark.streaming.ops import streaming_snapshot_sink
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash bigint")
+    rows = [("r%02d" % i, b"\x01\x02", 1, 1, "png", "c", i) for i in range(6)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    loc = str(tmp_path / "table2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = streaming_snapshot_sink(stream, loc, checkpoint_dir=ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    t = SnapshotTable(loc)
+    assert t.read(spark).count() == 6
+    n_snaps = len(t.snapshots())
+    assert t.snapshots()[-1]["properties"]["query"] == "snapshot-ingest"
+
+    # simulate lost streaming checkpoint: same epochs replay
+    shutil.rmtree(ckpt)
+    run_once()
+    assert t.read(spark).count() == 6  # no duplicates
+    assert len(t.snapshots()) == n_snaps

@@ -95,3 +95,19 @@ def test_general_zonal_with_skew(spark):
     rect = df.select(R.rs_zonal_stats_rect(F.col("r"), 0, 2, 6, 4).alias("z")) \
         .select("z.*").first()
     assert (rect["zcount"], rect["zsum"]) == (2, 3.0)
+
+
+def test_boundary_center_semantics_differ_by_path(spark):
+    """Pinned behavior: a zone edge ON pixel centers — the rect path is
+    half-open (max edge excluded), the general WKB path uses closed
+    covers() (boundary counts).  See the membership-rule comment in
+    operators/raster.py."""
+    df = _raster_df(spark)  # centers cx in {1,3,5,7}, cy in {7,5,3,1}
+    # xmax = 5 lies exactly on the col-2 centers
+    rect = df.select(R.rs_zonal_stats_rect(F.col("r"), 0, 0, 5, 8).alias("z")) \
+        .select("z.*").first()
+    assert rect["zcount"] == 8  # cols {0,1} only: half-open excludes cx=5
+    gen = R.zonal_stats_df(
+        df.withColumn("wkb", F.lit(bytearray(W.dumps(W.box(0.0, 0.0, 5.0, 8.0)))))
+    ).first()
+    assert gen["zcount"] == 12  # cols {0,1,2}: covers() includes cx=5
