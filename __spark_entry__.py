@@ -145,6 +145,24 @@ def q_pip_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("o_orderkey")
 
 
+def q_pip_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExistenceJoin form under the gate (joins._finish_how 'existence' —
+    BroadcastIndexJoinExec.scala:57-71): every TINY zone (side 0.5 — at
+    sf0.01 point density each holds ~0.4 points, so the flag mixes) plus a boolean:
+    does it contain at least one orders point?  Oracle: EXISTS subquery."""
+    zones = _zones(spark, sf_dir, 18.0, 0.5)
+    pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey", ["o_orderkey"])
+    j = spatial_join(
+        zones.select("n_nationkey", "wkb"),
+        pts.select("o_orderkey", "x", "y"),
+        "contains",
+        grid=GRID_PTS,
+        right_point_cols=("x", "y"),
+        how="existence",
+    )
+    return j.select("n_nationkey", F.col("exists").alias("has_pt"))
+
+
 def q_pip_count_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_pip_join_pairs(spark, sf_dir)
@@ -1302,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": q_pip_join_salted,
         "pip_count_by_zone": q_pip_count_by_zone,
         "pip_join_anti": q_pip_join_anti,
+        "pip_join_existence": q_pip_join_existence,
         "distance_join_pairs": q_distance_join_pairs,
         "knn_query": q_knn_query,
         "range_box": q_range_box,
@@ -1563,6 +1582,18 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_pairs": pip_pairs,
         "pip_join_salted": pip_salted,
         "pip_count_by_zone": f"SELECT n_nationkey, count(*) AS cnt FROM ({pip_pairs}) GROUP BY n_nationkey",
+        # ExistenceJoin coverage: every small zone + EXISTS boolean
+        "pip_join_existence": f"""
+            WITH z AS ({_SQL_ZONES.format(off=18.0, side=0.5)}),
+            p AS (SELECT o_orderkey, {lon_o} AS x, {lat_o} AS y FROM orders)
+            SELECT z.n_nationkey,
+                   EXISTS (
+                     SELECT 1 FROM p
+                     WHERE p.x > z.zxmin AND p.x < z.zxmax
+                       AND p.y > z.zymin AND p.y < z.zymax
+                   ) AS has_pt
+            FROM z
+        """,
         # the NOT EXISTS complement of pip_join_pairs (left_anti coverage)
         "pip_join_anti": f"""
             WITH z AS ({zones16}),
