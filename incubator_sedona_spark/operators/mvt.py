@@ -302,3 +302,46 @@ def mvt_tiles_df(
     return df.groupBy(tx, ty).applyInPandas(
         _build, schema=f"{tx} int, {ty} int, mvt binary, n_features int"
     )
+
+
+def write_tile_pyramid(
+    tiles: DataFrame,
+    out_dir: str,
+    zoom: int,
+    blob_col: str = "mvt",
+    ext: str = "mvt",
+    tile_cols: tuple[str, str] = ("tile_x", "tile_y"),
+) -> DataFrame:
+    """Write per-tile blobs into the XYZ slippy-map layout
+    ``<out>/<z>/<x>/<y>.<ext>`` — the directory convention every tile
+    server and map client consumes.  Executor-side writes through a
+    pyarrow FileSystem (same pattern as the WebDataset sink), one file
+    per tile; works for MVT blobs and equally for the raster path's PNG
+    tiles (pass blob_col/ext).  Returns a manifest (z, x, y, path, bytes);
+    the write happens when the manifest is acted on."""
+    tx, ty = tile_cols
+
+    def _write(batches):
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(out_dir) \
+            if "://" in out_dir else (pafs.LocalFileSystem(), out_dir)
+        for pdf in batches:
+            zs, xs, ys, paths, sizes = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                x, y = int(getattr(row, tx)), int(getattr(row, ty))
+                blob = bytes(getattr(row, blob_col))
+                d = f"{base}/{zoom}/{x}"
+                filesystem.create_dir(d, recursive=True)
+                path = f"{d}/{y}.{ext}"
+                with filesystem.open_output_stream(path) as f:
+                    f.write(blob)
+                zs.append(zoom), xs.append(x), ys.append(y)
+                paths.append(path), sizes.append(len(blob))
+            yield pd.DataFrame(
+                {"z": zs, "x": xs, "y": ys, "path": paths, "bytes": sizes}
+            )
+
+    return tiles.mapInPandas(
+        _write, schema="z int, x int, y int, path string, bytes bigint"
+    )

@@ -110,3 +110,25 @@ def test_mvt_tiles_df(spark):
     assert geoms[1] == [9, 200, 400]  # zigzag(100)=200, zigzag(200)=400
     dec2 = decode_mvt(bytes(out[(1, 2)]["mvt"]))["pts"]
     assert dec2["values"] == ["gamma"]
+
+
+def test_write_tile_pyramid(spark, tmp_path):
+    import os
+
+    rows = [(0, 0, 10, 20, 1, "a"), (3, 5, 1, 2, 2, "b")]
+    df = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, px int, py int, fid long, name string"
+    )
+    tiles = mvt_tiles_df(df, layer_name="pts", property_cols=["name"])
+    from incubator_sedona_spark.operators.mvt import write_tile_pyramid
+
+    out = str(tmp_path / "pyramid")
+    manifest = {(r["x"], r["y"]): r
+                for r in write_tile_pyramid(tiles, out, zoom=4).collect()}
+    assert set(manifest) == {(0, 0), (3, 5)}
+    p = os.path.join(out, "4", "3", "5.mvt")
+    assert os.path.exists(p)
+    with open(p, "rb") as f:
+        dec = decode_mvt(f.read())["pts"]
+    assert dec["values"] == ["b"]
+    assert manifest[(3, 5)]["path"].endswith("4/3/5.mvt")
