@@ -934,9 +934,13 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     got = sessionize(ev, 1800, tiebreak_col="event_id")
+    # session_seq is DOUBLE by contract with the frozen oracle: DuckDB's
+    # windowed sum(int) returns HUGEINT, which pandas materializes as
+    # float64 — a long here stringifies as "1" vs the oracle's "1.0" and
+    # fails the driver's dtype-sensitive hash (round-5 VERDICT item 1a).
     return got.select(
         "user_id",
-        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("session_seq").cast("double").alias("session_seq"),
         F.col("n_events").cast("long").alias("n_events"),
         "t_start",
         "t_end",
@@ -1270,13 +1274,17 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * 10 + 8).cast("double"),
         F.lit(49.0),
     )
-    return nat.select(
+    # alias the stats struct into a real column before extracting fields:
+    # five GetStructField references would otherwise inline five copies of
+    # the full zonal expression tree (plan-compile cost, VERDICT r5 item 9)
+    zs = nat.select("n_nationkey", z.alias("__z"))
+    return zs.select(
         "n_nationkey",
-        z["zcount"].alias("zcount"),
-        F.round(z["zsum"], 6).alias("zsum_r"),
-        z["zmin"].alias("zmin"),
-        z["zmax"].alias("zmax"),
-        F.round(z["zmean"], 6).alias("zmean_r"),
+        F.col("__z")["zcount"].alias("zcount"),
+        F.round(F.col("__z")["zsum"], 6).alias("zsum_r"),
+        F.col("__z")["zmin"].alias("zmin"),
+        F.col("__z")["zmax"].alias("zmax"),
+        F.round(F.col("__z")["zmean"], 6).alias("zmean_r"),
     )
 
 
@@ -1315,6 +1323,12 @@ def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (round-5 VERDICT item 1b): the driver's correctness
+    # gate evaluates the FIRST 50 entries only, so every distinct SURVEY §2
+    # operator keeps its sole gate query inside the first 50.  Redundant
+    # variants of operators already covered (the uncapped ngram twin, the
+    # capped minhash twin, plain-SQL events_daily, the 5th text oracle) sit
+    # in the overflow tail, where tools/check_oracles.py still verifies them.
     return {
         "pip_join_pairs": q_pip_join_pairs,
         "pip_join_salted": q_pip_join_salted,
@@ -1340,7 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geom": q_knn_join_geom,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
-        "events_daily": q_events_daily,
+        "overlay_area": q_overlay_area,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1353,11 +1367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "embed_dup_pairs": q_embed_dup_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "union_area": q_union_area,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "minhash_pairs_capped": q_minhash_pairs_capped,
+        "buffer_area": q_buffer_area,
         "cell_count_ledger": q_cell_count_ledger,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "transform_roundtrip": q_transform_roundtrip,
         "event_sessions": q_event_sessions,
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontam": q_doc_decontam,
@@ -1375,10 +1389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_profile": q_zorder_profile,
         "epoch_order": q_epoch_order,
         "zonal_stats": q_zonal_stats,
-        "overlay_area": q_overlay_area,
-        "union_area": q_union_area,
-        "buffer_area": q_buffer_area,
-        "transform_roundtrip": q_transform_roundtrip,
+        "events_daily": q_events_daily,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 

@@ -421,6 +421,13 @@ def rs_zonal_stats_rect(
     codegen, so it is exactly DuckDB-oracle-able and costs one Project.
     Returns struct(zcount, zsum, zmin, zmax, zmean); zero-pixel zones give
     zcount=0 with NULL sum/min/max/mean.
+
+    The zone-pixel array is bound ONCE via an aggregate() pass-through
+    (winnow_fingerprints' trick) before the five stats reference it:
+    without the binding, each stat duplicates the whole filter+transform
+    tree over the raster struct, and the q_zonal_stats gate query's
+    analysis/codegen grew to ~47 s at sf0.01 (round-5 VERDICT item 9)
+    while computing 25 rows.
     """
     c = lambda v: (v if isinstance(v, Column) else F.lit(v)).cast("double")
     xmin, ymin, xmax, ymax = c(xmin), c(ymin), c(xmax), c(ymax)
@@ -438,14 +445,23 @@ def rs_zonal_stats_rect(
     vals = F.transform(
         inside, lambda i: F.element_at(F.element_at(r["bands"], band), (i + 1).cast("int"))
     )
-    n = F.size(vals)
-    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    return F.struct(
-        n.cast("long").alias("zcount"),
-        F.when(n > 0, s).alias("zsum"),
-        F.when(n > 0, F.array_min(vals)).alias("zmin"),
-        F.when(n > 0, F.array_max(vals)).alias("zmax"),
-        F.when(n > 0, s / n).alias("zmean"),
+
+    def _stats(v: Column) -> Column:
+        n = F.size(v)
+        s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+        return F.struct(
+            n.cast("long").alias("zcount"),
+            F.when(n > 0, s).alias("zsum"),
+            F.when(n > 0, F.array_min(v)).alias("zmin"),
+            F.when(n > 0, F.array_max(v)).alias("zmax"),
+            F.when(n > 0, s / n).alias("zmean"),
+        )
+
+    # accumulator binding: `vals` (the expensive tree) materializes exactly
+    # once; the finish lambda sees it as a bound variable, not a subtree the
+    # five stats would each re-inline
+    return F.aggregate(
+        F.array(F.lit(1)), vals, lambda acc, _x: acc, lambda acc: _stats(acc)
     )
 
 

@@ -452,7 +452,18 @@ def phash_dup_pairs(
     the hash carried alongside (ids+hash-only shuffle, no second lookup
     join), then the exact ``bit_count(xor)`` verify.  ``max_bucket_size``
     caps degenerate bands (e.g. all-black thumbnails hashing to 0) exactly
-    like the minhash/simhash paths."""
+    like the minhash/simhash paths.
+
+    Band i's key gathers the STRIDED bit set {i, i + n_bands, ...} rather
+    than a contiguous range.  Any partition of the 64 bits into n_bands
+    disjoint groups preserves the pigeonhole recall proof, but real
+    perceptual hashes concentrate their entropy unevenly across bit
+    positions (DCT sign layouts; synthetic corpora whose ids only populate
+    the low bits) — a contiguous high-bit band can then collapse to a
+    handful of buckets and go quadratic (measured at the 52k-image gate
+    corpus: the top contiguous band held ONE bucket = 1.35e9 candidate
+    pairs, 104 s; strided bands cap the same corpus at ~100 rows/bucket =
+    6.4e6 candidates, >200x less)."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if n_bands <= max_hamming:
@@ -462,8 +473,18 @@ def phash_dup_pairs(
         )
     if n_bands > 64:
         raise ValueError("n_bands > 64")
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
-    offs = [sum(widths[:i]) for i in range(n_bands)]
+
+    def _strided_key(i: int):
+        # key = sum_j bit(i + j*n_bands) << j — pure codegen bit math
+        key = None
+        for j, b in enumerate(range(i, 64, n_bands)):
+            term = F.shiftrightunsigned(F.col(phash_col), b).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            term = F.shiftleft(term, j) if j else term
+            key = term if key is None else key.bitwiseOR(term)
+        return key
+
     keyed = df.select(
         F.col(id_col),
         F.col(phash_col).alias("__ph"),
@@ -472,12 +493,7 @@ def phash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col(phash_col), offs[i])
-                            if widths[i] >= 64  # full-width band: no mask
-                            else F.shiftrightunsigned(F.col(phash_col), offs[i])
-                            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        ).alias("key"),
+                        _strided_key(i).alias("key"),
                     )
                     for i in range(n_bands)
                 ]

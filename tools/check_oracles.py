@@ -67,6 +67,15 @@ def main(sf_dir: str, only: list[str] | None = None):
             status = f"COLS {list(g.columns)} vs {list(e.columns)}"
         elif len(g) != len(e):
             status = f"ROWS {len(g)} vs {len(e)}"
+        elif list(map(str, g.dtypes)) != list(map(str, e.dtypes)):
+            # the driver's hash stringifies values, so int64 1 vs float64 1.0
+            # FAILS there even though the values compare equal — replicate
+            # that dtype sensitivity here (round-5 VERDICT item 2: the
+            # locally-green/driver-red failure class must reproduce locally)
+            status = (
+                f"DTYPES {dict(zip(g.columns, map(str, g.dtypes)))} vs "
+                f"{dict(zip(e.columns, map(str, e.dtypes)))}"
+            )
         else:
             try:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, rtol=0, atol=0)
