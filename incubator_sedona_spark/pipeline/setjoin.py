@@ -98,8 +98,16 @@ def exact_jaccard_self_join(
     # off in index-probe architectures where the suffix filter re-tightens
     # the bound per probe; in this batch plan the positional filter is the
     # only array-free prune, so both sides keep the full probe prefix.
+    # the 1e-9 slack inside both ceil()s removes a floating-point landmine:
+    # t*n and t/(1+t)*(na+nb) are not dyadic rationals, so when the exact
+    # product lands ON an integer the double can come out a hair above it
+    # and ceil() would shorten a prefix / raise the overlap cutoff past an
+    # exactly-qualifying pair.  Slack only ever ADMITS a borderline pair
+    # (the exact verify settles it) — it can never drop one.
     t = float(threshold)
-    plen = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
+    plen = (
+        F.col("__n") - F.ceil(F.col("__n") * F.lit(t) - F.lit(1e-9)) + 1
+    ).cast("int")
     prefixes = ordered.select(
         F.col(id_col),
         F.col("__n"),
@@ -133,7 +141,9 @@ def exact_jaccard_self_join(
         F.max("__ib").alias("__jmax"),
     )
     alpha = F.ceil(
-        F.lit(float(threshold) / (1.0 + float(threshold))) * (F.col("na") + F.col("nb"))
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
     )
     ubound = F.col("__c") + F.least(
         F.col("na") - F.col("__imax") - 1, F.col("nb") - F.col("__jmax") - 1
