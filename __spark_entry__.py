@@ -147,6 +147,8 @@ def q_pip_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contains",
         grid=GRID_PTS,
         right_point_cols=("x", "y"),  # point side: zero-UDF native plan
+        left_rect=True,  # zones are envelope rectangles by construction:
+        # skip the 2-job auto-probe the "auto" default would run per query
     )
     return j.select("n_nationkey", "o_orderkey")
 
@@ -183,6 +185,7 @@ def q_pip_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid=GRID_PTS,
         right_point_cols=("x", "y"),
         how="existence",
+        left_rect=True,  # envelope rectangles: skip the auto-probe jobs
     )
     return j.select("n_nationkey", F.col("exists").alias("has_pt"))
 
@@ -224,6 +227,7 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=True,
         salt_min_rows=1_000,
         salt_factor=8,
+        left_rect=True,  # envelope rectangles: skip the auto-probe jobs
     )
     return j.select("n_nationkey", "pt_id")
 

@@ -59,6 +59,13 @@ def with_bbox(df: DataFrame, geom_col: str = "wkb", prefix: str = "") -> DataFra
         bb = W.bounds_batch(wkb_s)
         return pd.Series(list(bb))
 
+    # non-deterministic marker (guide on UDF duplication): the bbox
+    # prefilter downstream references these UDF-derived columns, and the
+    # optimizer's filter pushdown otherwise plants a SECOND ArrowEvalPython
+    # evaluating the same UDF below the filter — every geometry row then
+    # pays the WKB parse twice (observed in the flagship plan).  The value
+    # is deterministic; the marker only stops the optimizer from cloning it.
+    _bbox = _bbox.asNondeterministic()
     df = df.withColumn("__iss_bb", _bbox(F.col(geom_col)))
     for i, c in enumerate(cols):
         df = df.withColumn(c, F.col("__iss_bb")[i])
@@ -451,6 +458,42 @@ def spatial_join(
     if predicate not in K.PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     _check_srid_columns(left, right, assume_same_crs)
+
+    if (
+        broadcast is None
+        and right_point_cols is not None
+        and not left.isStreaming
+        and not right.isStreaming
+    ):
+        # A stat-less left side (e.g. a createDataFrame zones table) defeats
+        # both Catalyst's auto-broadcast AND AQE's runtime conversion,
+        # leaving a SortMergeJoin that shuffles the big point side (observed
+        # on the flagship pipeline: both sides Exchange'd for a 200-zone
+        # join).  When the optimizer only has the size placeholder, one
+        # bounded limit-count decides; a genuinely big left side pays one
+        # cheap limit-pushed job and keeps the shuffle plan.  The confirmed-
+        # small side is also PINNED: a createDataFrame relation is pickled
+        # Python slices that a Python runner re-evaluates on EVERY job over
+        # its lineage (the probe, the bbox stage, the broadcast build each
+        # paid a full re-evaluation — and coalescing such a relation is
+        # poison, serializing all slice evaluations into one task, measured
+        # 12-14 s for a 200-row zones table).  The pin registers with the
+        # dedup cache registry so release_cached() frees it.
+        try:
+            est = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = 0
+        if est >= (1 << 50):
+            from incubator_sedona_spark.pipeline.dedup import _pin
+
+            n_left = left.limit(100_001).count()
+            if n_left <= 100_000:
+                broadcast = "left"
+                # coalesce ABOVE the pin: reads the cache (no slice
+                # re-evaluation) while shrinking the pandas-UDF stages
+                # (bbox, rectangle probe) from one Arrow task per default
+                # partition to a handful
+                left = _pin(left).coalesce(max(1, min(8, 1 + n_left // 2000)))
 
     lp, rp = "l_", "r_"
     lft = _prefixed(with_bbox(left, left_geom), lp)

@@ -403,7 +403,11 @@ def simhash_dup_pairs(
     """
     if max_hamming > 3:
         raise ValueError("3-of-6 block keys are exact only for max_hamming <= 3")
-    sig = simhash64(df, id_col, text_col)
+    # pinned: sig feeds the block-key explode AND both sides of the verify
+    # join — without the pin the explode + 64-column vote aggregate runs
+    # three times per query (measured ~2x the query's wall at the 50k-doc
+    # corpus).  (id, long) rows only.
+    sig = _pin(simhash64(df, id_col, text_col))
     blocks = [
         _sim_block(F.col("simhash"), off, w).alias(f"__b{i}")
         for i, (off, w) in enumerate(_SIM_BLOCKS)
