@@ -472,28 +472,28 @@ def spatial_join(
         # join).  When the optimizer only has the size placeholder, one
         # bounded limit-count decides; a genuinely big left side pays one
         # cheap limit-pushed job and keeps the shuffle plan.  The confirmed-
-        # small side is also PINNED: a createDataFrame relation is pickled
-        # Python slices that a Python runner re-evaluates on EVERY job over
-        # its lineage (the probe, the bbox stage, the broadcast build each
-        # paid a full re-evaluation — and coalescing such a relation is
-        # poison, serializing all slice evaluations into one task, measured
-        # 12-14 s for a 200-row zones table).  The pin registers with the
-        # dedup cache registry so release_cached() frees it.
+        # small side is then MATERIALIZED with an eager localCheckpoint: a
+        # createDataFrame relation is pickled Python slices that a Python
+        # runner re-evaluates on EVERY job over its lineage (the probe, the
+        # bbox stage and the broadcast build each paid a full re-evaluation
+        # — and coalescing such a relation is poison, serializing all slice
+        # evaluations into one task, measured 12-14 s for a 200-row zones
+        # table).  The checkpoint cuts the lineage — downstream plans read
+        # the materialized rows, keeping any construction UDFs out of the
+        # join plan — and the coalesce above it shrinks the pandas-UDF
+        # stages (bbox, rectangle probe) to a handful of Arrow tasks
+        # instead of one per default partition.
         try:
             est = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:
             est = 0
         if est >= (1 << 50):
-            from incubator_sedona_spark.pipeline.dedup import _pin
-
             n_left = left.limit(100_001).count()
             if n_left <= 100_000:
                 broadcast = "left"
-                # coalesce ABOVE the pin: reads the cache (no slice
-                # re-evaluation) while shrinking the pandas-UDF stages
-                # (bbox, rectangle probe) from one Arrow task per default
-                # partition to a handful
-                left = _pin(left).coalesce(max(1, min(8, 1 + n_left // 2000)))
+                left = left.localCheckpoint(eager=True).coalesce(
+                    max(1, min(8, 1 + n_left // 2000))
+                )
 
     lp, rp = "l_", "r_"
     lft = _prefixed(with_bbox(left, left_geom), lp)
