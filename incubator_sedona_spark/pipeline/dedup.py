@@ -231,20 +231,21 @@ def minhash_lsh_dup_pairs(
                 break
         min_band_matches = cut
     if verify == "exact":
-        # FUSED corpus pass: the signature min-aggregates and the verify's
-        # distinct shingle sets come out of ONE explode + ONE groupBy
-        # (round-5 ran _shingle_hash_rows twice — once per consumer).
-        rows = _shingle_hash_rows(df, text_col, shingle_k, id_col)
+        # ONE corpus explode, pinned, feeding TWO separate aggregates: the
+        # 96-column min aggregate (a clean codegen HashAggregate) and the
+        # verify's collect_set (an ObjectHashAggregate).  Round 5 exploded
+        # the corpus twice; fusing both into one ObjectHashAggregate was
+        # also measured slower than this split (the same buffer-width
+        # pathology seen on ppjoin's ordered build).
+        rows = _pin(_shingle_hash_rows(df, text_col, shingle_k, id_col))
         min_aggs = [
             F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__m{j}")
             for j in range(num_hashes)
         ]
-        per_doc = rows.groupBy(id_col).agg(
-            F.collect_set("__sh").alias("__s"), *min_aggs
+        sig = _pin(rows.groupBy(id_col).agg(*min_aggs))
+        exact_sets = _pin(
+            rows.groupBy(id_col).agg(F.collect_set("__sh").alias("__s"))
         )
-        # pinned: consumed by both band-join sides AND the verify set join
-        per_doc = _pin(per_doc)
-        sig = per_doc  # signature columns __m0..__m{n-1}
         mh = lambda j: F.col(f"__m{j}")
     else:
         sig = minhash_signatures(df, text_col, num_hashes, shingle_k, id_col=id_col)
@@ -295,10 +296,10 @@ def minhash_lsh_dup_pairs(
         # (xxhash64 of each substr — jaccard over hashes equals jaccard over
         # shingles up to a ~n^2/2^64 collision probability, and the oracle's
         # string-side computation would catch one) come straight off the
-        # pinned fused aggregate, joined onto the candidate pairs and
+        # pinned collect_set aggregate, joined onto the candidate pairs and
         # intersected JVM-side with array_intersect.  This replaces the
         # round-2 per-pair Python jaccard UDF.
-        sets = per_doc.select(id_col, "__s")
+        sets = exact_sets
         withsets = cand.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")), "id_a"
         ).join(
