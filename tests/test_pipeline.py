@@ -419,3 +419,50 @@ def test_dedup_representatives(spark, docs):
     # representatives = all docs minus non-min members of clusters
     assert reps.count() < n_docs
     assert reps.count() >= n_docs - n_pairs_nodes
+
+
+def test_exact_jaccard_asymmetric_prefix_multithreshold(spark):
+    """Randomized stress for the asymmetric index/probe prefixes: varied
+    lengths (including exact-size ties, where the (n, id) doc order falls
+    back to ids) across several thresholds must reproduce the brute-force
+    pair set exactly — the recall proof's two bounds (alpha >= 2t/(1+t)*n_x
+    and alpha >= t*n_y) are both exercised near equality."""
+    import random
+
+    from incubator_sedona_spark.pipeline.setjoin import exact_jaccard_self_join
+
+    rng = random.Random(17)
+    vocab = "abcdefgh"
+    base = "".join(rng.choice(vocab) for _ in range(60))
+    texts = {}
+    for i in range(40):
+        mode = i % 4
+        if mode == 0:  # near-copies of base with small edits
+            s = list(base)
+            for _ in range(rng.randrange(0, 6)):
+                s[rng.randrange(len(s))] = rng.choice(vocab)
+            texts[i] = "".join(s)
+        elif mode == 1:  # truncations (size-ratio boundary cases)
+            texts[i] = base[: rng.randrange(30, 60)]
+        elif mode == 2:  # same-length shuffles (doc-order ties on n)
+            s = list(base)
+            rng.shuffle(s)
+            texts[i] = "".join(s)
+        else:  # unrelated
+            texts[i] = "".join(rng.choice("stuvwxyz") for _ in range(rng.randrange(20, 70)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    for thr in (0.5, 0.7, 0.8, 0.9):
+        expected = set()
+        ids = sorted(texts)
+        for ii, a in enumerate(ids):
+            for b in ids[ii + 1 :]:
+                if D.exact_shingle_jaccard(texts[a], texts[b], 5) >= thr:
+                    expected.add((a, b))
+        got = {
+            (r.id_a, r.id_b)
+            for r in exact_jaccard_self_join(df, threshold=thr).collect()
+        }
+        assert got == expected, (thr, got ^ expected)
+        D.release_cached()
