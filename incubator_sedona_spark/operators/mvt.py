@@ -29,6 +29,7 @@ keyed by the same tile ids the raster path uses.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -281,14 +282,29 @@ def mvt_tiles_df(
     tx, ty = tile_cols
     props = property_cols or []
 
+    def _coerce_prop(v):
+        # itertuples yields numpy scalars (np.int64, np.bool_) which
+        # _encode_value's isinstance(int)/isinstance(bool) checks reject;
+        # unwrap them, and drop null properties (MVT has no null value type).
+        if isinstance(v, np.generic):
+            v = v.item()
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        return v
+
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         feats = []
         for row in pdf.itertuples(index=False):
+            properties = {}
+            for c in props:
+                v = _coerce_prop(getattr(row, c))
+                if v is not None:
+                    properties[c] = v
             f = {
                 "type": GEOM_POINT,
                 "parts": [[(int(getattr(row, px_cols[0])),
                             int(getattr(row, px_cols[1])))]],
-                "properties": {c: getattr(row, c) for c in props},
+                "properties": properties,
             }
             if id_col is not None:
                 f["id"] = int(getattr(row, id_col))

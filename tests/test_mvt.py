@@ -112,6 +112,29 @@ def test_mvt_tiles_df(spark):
     assert dec2["values"] == ["gamma"]
 
 
+def test_mvt_tiles_df_numeric_and_null_properties(spark):
+    # int/bool/double property columns reach _encode_value as numpy scalars
+    # via itertuples; nulls must be skipped, not raise (MVT has no null type).
+    rows = [
+        (0, 0, 1, 2, 7, True, 1.5),
+        (0, 0, 3, 4, None, False, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, px int, py int,"
+              " rank int, flag boolean, score double"
+    )
+    out = mvt_tiles_df(df, layer_name="pts",
+                       property_cols=["rank", "flag", "score"]).collect()
+    assert len(out) == 1
+    dec = decode_mvt(bytes(out[0]["mvt"]))["pts"]
+    assert set(dec["keys"]) == {"rank", "flag", "score"}
+    assert set(dec["values"]) == {7, True, False, 1.5}
+    tags = sorted(tuple(f["tags"]) for f in dec["features"])
+    # row 2 keeps only the non-null flag property (1 tag pair = 2 ints)
+    assert min(len(t) for t in tags) == 2
+    assert max(len(t) for t in tags) == 6
+
+
 def test_write_tile_pyramid(spark, tmp_path):
     import os
 
