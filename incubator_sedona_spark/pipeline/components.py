@@ -71,6 +71,52 @@ def _check_id_types(df: DataFrame, cols: tuple[str, ...]) -> None:
             )
 
 
+def _driver_union_find(
+    e: DataFrame, nodes: DataFrame | None, node_col: str, out_col: str
+) -> DataFrame:
+    """Bounded small-graph path: union-find over a collected edge list (the
+    caller has already counted it against the cap), then one broadcast join
+    labeling the universe.  Labels are identical to the iterative loop's
+    fixed point: min node id per component."""
+    spark = e.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    label: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in label or x < label[r]:
+            label[r] = x
+    mapping = [(x, label[find(x)]) for x in parent]
+    mapped = spark.createDataFrame(
+        mapping, f"{node_col} long, {out_col} long"
+    )
+    if nodes is None:
+        # every node appears in some edge, so the mapping IS the labeling
+        return mapped
+    universe = nodes.select(F.col(node_col).cast("long").alias(node_col)).distinct()
+    return universe.join(F.broadcast(mapped), node_col, "left").select(
+        F.col(node_col),
+        F.coalesce(F.col(out_col), F.col(node_col)).alias(out_col),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -80,6 +126,7 @@ def connected_components(
     out_col: str = "component",
     max_iter: int = 50,
     checkpoint_every: int = 5,
+    driver_edge_cap: int = 100_000,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -87,6 +134,15 @@ def connected_components(
     internally).  ``nodes``: optional universe DataFrame (one column
     ``node_col``); nodes absent from any edge become singleton components of
     themselves — exactly what dedup grouping needs (every doc gets a label).
+
+    Small graphs (at most ``driver_edge_cap`` edges after the one
+    materializing count below — dedup pair graphs are tiny relative to the
+    corpus) take a driver union-find fast path: the iterative loop costs
+    several scheduled rounds of joins regardless of size, ~1.5 s/round of
+    pure orchestration on an idle graph, while a capped edge list is one
+    bounded collect (same pattern as the kNN straggler finisher and the ANN
+    sampling collect) plus one broadcast join.  Pass ``driver_edge_cap=0``
+    to force the distributed loop.
     """
     _check_id_types(edges, (src, dst))
     if nodes is not None:
@@ -94,8 +150,14 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
-    e.count()  # materialize ONCE: the union below reads e twice, and edge
+    n_edges = e.count()  # materialize ONCE: read again below, and edge
     # generation (e.g. a PPJoin) is usually the most expensive input here
+
+    if n_edges <= driver_edge_cap:
+        out = _driver_union_find(e, nodes, node_col, out_col)
+        e.unpersist()
+        return out
+
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
 
     if nodes is not None:

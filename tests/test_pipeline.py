@@ -378,12 +378,20 @@ def test_connected_components_chain_and_maxiter(spark):
     from incubator_sedona_spark.pipeline.components import connected_components
 
     # a length-12 chain needs ~12 propagation rounds; max_iter must bound it
+    # (driver_edge_cap=0 forces the distributed loop — the small-graph
+    # union-find path has no rounds to bound)
     chain = [(i, i + 1) for i in range(12)]
     e = spark.createDataFrame(chain, "id_a long, id_b long")
-    got = {r.id: r.component for r in connected_components(e, node_col="id").collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(e, node_col="id", driver_edge_cap=0).collect()
+    }
     assert set(got.values()) == {0}
     with pytest.raises(RuntimeError):
-        connected_components(e, node_col="id", max_iter=2).collect()
+        connected_components(e, node_col="id", max_iter=2, driver_edge_cap=0).collect()
+    # the default small-graph path must produce the identical labeling
+    fast = {r.id: r.component for r in connected_components(e, node_col="id").collect()}
+    assert fast == got
 
 
 def test_connected_components_vs_union_find_on_dup_pairs(spark, docs):
@@ -398,11 +406,20 @@ def test_connected_components_vs_union_find_on_dup_pairs(spark, docs):
     got = {
         r.doc_id: r.component
         for r in connected_components(
-            pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+            pairs, nodes=docs.select("doc_id"), node_col="doc_id",
+            driver_edge_cap=0,  # exercise the distributed loop, not union-find
         ).collect()
     }
     assert got == expected
     assert len(set(got.values())) < len(node_ids)  # some real merges happened
+    # the small-graph fast path (default cap) must agree exactly
+    fast = {
+        r.doc_id: r.component
+        for r in connected_components(
+            pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+        ).collect()
+    }
+    assert fast == expected
 
 
 def test_dedup_representatives(spark, docs):
