@@ -169,6 +169,69 @@ def _cap_buckets(
     )
 
 
+# -- lane-packed count-vector overlap bound ------------------------------------
+#
+# For exact set-similarity joins (setjoin's PPJoin, the ngram jaccard join):
+# hash each element into one of _CV_BUCKETS buckets and keep per-doc bucket
+# counts a_i packed four 16-bit lanes to a long.  For any pair,
+# |A ∩ B| <= sum_i min(a_i, b_i) (shared elements land in the same bucket on
+# both sides), so ``sum-min >= minoverlap`` is a NECESSARY condition that can
+# run map-side inside the candidate join, BEFORE any pair-keyed exchange.
+# Admit-only: a 16-bit lane cannot overflow below 65536 elements per bucket —
+# callers must admit (not drop) pairs whose set size exceeds 65535.
+#
+# The lane count is a JIT cliff, not a tunable: the sum-min lives in a join
+# condition, whose generated bytecode HotSpot refuses to compile above ~8 kB
+# (-XX:DontCompileHugeMethods).  Measured on the 50k-doc sf1 corpus: 8 longs/
+# 32 buckets runs compiled (the flood filter costs ~2 s); 12 longs/48 buckets
+# and 16/64 silently fall to interpreted bytecode at ~12 us/row — 40x slower
+# end-to-end (165-192 s) despite 64 buckets being near-perfectly selective.
+_CV_LONGS = 8
+_CV_BUCKETS = 4 * _CV_LONGS
+_LANE_MASK = 0xFFFF
+
+
+def _cv_aggs(elem_col: str = "__sh"):
+    """Aggregate expressions building the lane-packed bucket counts from
+    exploded (doc, element) rows: long j accumulates buckets 4j..4j+3, one
+    16-bit lane each.  ``elem_col`` must hold uniform 64-bit hashes."""
+    bkt = F.pmod(F.col(elem_col), F.lit(_CV_BUCKETS)).cast("int")
+    lane = bkt.bitwiseAND(F.lit(3))
+    lane_one = (
+        F.when(lane == 0, F.lit(1).cast("long"))
+        .when(lane == 1, F.lit(1 << 16).cast("long"))
+        .when(lane == 2, F.lit(1 << 32).cast("long"))
+        .otherwise(F.lit(1 << 48).cast("long"))
+    )
+    return [
+        F.sum(
+            F.when(F.shiftright(bkt, 2) == j, lane_one).otherwise(F.lit(0).cast("long"))
+        ).alias(f"__cv{j}")
+        for j in range(_CV_LONGS)
+    ]
+
+
+def _cv_min_sum(prefix_a: str, prefix_b: str):
+    """sum_i min(a_i, b_i) over the lane-packed bucket counts — an upper
+    bound on |A ∩ B| (each term bounds the bucket's shared-element count).
+    Pure shift/mask/least scalar ops so the join-condition codegen stays
+    under the JIT method limit (see the geometry note above)."""
+    terms = []
+    for j in range(_CV_LONGS):
+        x, y = F.col(f"{prefix_a}{j}"), F.col(f"{prefix_b}{j}")
+        for lane in range(4):
+            terms.append(
+                F.least(
+                    F.shiftright(x, 16 * lane).bitwiseAND(F.lit(_LANE_MASK)),
+                    F.shiftright(y, 16 * lane).bitwiseAND(F.lit(_LANE_MASK)),
+                )
+            )
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -414,8 +477,14 @@ def simhash_dup_pairs(
         for i, (off, w) in enumerate(_SIM_BLOCKS)
     ]
     withb = sig.select(F.col(id_col), F.col("simhash"), *blocks)
+    # the signature rides the keyed rows (8 bytes on ids-only rows), so the
+    # bit_count verify runs INSIDE the self-join — the flood of non-qualifying
+    # combo matches dies map-side before the pair dedup exchange, and the two
+    # signature lookup joins the round-5 plan needed are gone (same shape as
+    # phash_dup_pairs below)
     keyed = withb.select(
         id_col,
+        F.col("simhash").alias("__sim"),
         F.explode(
             F.array(
                 *[
@@ -431,30 +500,26 @@ def simhash_dup_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select(id_col, F.col("ck.combo").alias("combo"), F.col("ck.key").alias("key"))
+    ).select(
+        id_col, "__sim", F.col("ck.combo").alias("combo"), F.col("ck.key").alias("key")
+    )
     # persisted for the same reason as minhash's banded rel: the self-join
     # consumes it twice and would recompute the signature aggregate both times
     keyed = _pin(keyed)
     keyed = _cap_buckets(keyed, ["combo", "key"], max_bucket_size)
 
-    a = keyed.select(F.col(id_col).alias("id_a"), "combo", "key")
-    b = keyed.select(F.col(id_col).alias("id_b"), "combo", "key")
-    cand = (
-        a.join(b, ["combo", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    withsig = cand.join(
-        sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a"
-    ).join(
-        sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b"
-    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("sh_a"),
+                     "combo", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("sh_b"),
+                     "combo", "key")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        withsig.withColumn("hamming", ham.cast("int"))
+        a.join(b, ["combo", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -687,7 +752,12 @@ def ngram_jaccard_pairs(
     b = e.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
     # size-ratio prune: jaccard >= t implies min(na,nb)/max(na,nb) >= t, so
     # the filter is implied by the final threshold and cannot change the
-    # result set — it only keeps size-incompatible pairs out of the count agg
+    # result set — it only keeps size-incompatible pairs out of the count agg.
+    # (The setjoin count-vector bound was wired in here and MEASURED
+    # net-neutral-to-negative at both sf0.1 and the single-file sf1 corpus
+    # — 3.18 -> 3.34 s — because after the df cap the pair-keyed exchange is
+    # no longer the wall while the extra per-doc count aggregates are pure
+    # cost; reverted, the capped plan keeps the round-5 shape.)
     shared = (
         a.join(b, "gram")
         .where(

@@ -29,71 +29,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from incubator_sedona_spark.pipeline.dedup import _pin, _shingle_hash_rows
-
-# Count-vector filter geometry: _CV_LONGS longs of four 16-bit lanes = 32
-# hash buckets per document.  For each bucket i the lane holds the count a_i
-# of set elements hashing there; for any pair, |A ∩ B| <= sum_i min(a_i, b_i)
-# (every shared element lands in the same bucket on both sides), so
-# ``sum-min >= minoverlap`` is a NECESSARY condition — evaluating it map-side
-# inside the prefix join discards non-qualifying candidates before the
-# pair-keyed exchange.  Admit-only in both directions: a 16-bit lane cannot
-# overflow below 65536 elements per bucket (guarded: sets larger than 65535
-# skip the filter and are admitted to the exact verify instead).
-#
-# The lane count is a JIT cliff, not a tunable: the sum-min expression lives
-# in the join condition, whose generated bytecode HotSpot refuses to compile
-# above ~8 kB (-XX:DontCompileHugeMethods).  Measured on the sf1 corpus:
-# 8 longs/32 buckets runs compiled (flood filter ~2 s); 12 longs/48 buckets
-# and 16/64 silently fall to interpreted bytecode at ~12 us/row — 40x slower
-# end-to-end (165-192 s) despite 64 buckets being near-perfectly selective
-# (2,562 survivors vs 374k at 32).  32 buckets + the positional filter on the
-# (now small) survivor aggregate gets within a whisker of 64-bucket
-# selectivity at compiled speed.
-_CV_LONGS = 8
-_CV_BUCKETS = 4 * _CV_LONGS
-_LANE_MASK = 0xFFFF
-
-
-def _cv_aggs():
-    """Aggregate expressions building the lane-packed bucket counts from the
-    exploded (doc, element) rows: long j accumulates buckets 4j..4j+3, one
-    16-bit lane each."""
-    bkt = F.pmod(F.col("__sh"), F.lit(_CV_BUCKETS)).cast("int")
-    lane = bkt.bitwiseAND(F.lit(3))
-    lane_one = (
-        F.when(lane == 0, F.lit(1).cast("long"))
-        .when(lane == 1, F.lit(1 << 16).cast("long"))
-        .when(lane == 2, F.lit(1 << 32).cast("long"))
-        .otherwise(F.lit(1 << 48).cast("long"))
-    )
-    return [
-        F.sum(
-            F.when(F.shiftright(bkt, 2) == j, lane_one).otherwise(F.lit(0).cast("long"))
-        ).alias(f"__cv{j}")
-        for j in range(_CV_LONGS)
-    ]
-
-
-def _cv_min_sum(prefix_a: str, prefix_b: str):
-    """sum_i min(a_i, b_i) over the lane-packed bucket counts — an upper
-    bound on |A ∩ B| (each term bounds the bucket's shared-element count).
-    Pure shift/mask/least scalar ops so the join-condition codegen stays
-    under the JIT method limit (see the geometry note above)."""
-    terms = []
-    for j in range(_CV_LONGS):
-        x, y = F.col(f"{prefix_a}{j}"), F.col(f"{prefix_b}{j}")
-        for lane in range(4):
-            terms.append(
-                F.least(
-                    F.shiftright(x, 16 * lane).bitwiseAND(F.lit(_LANE_MASK)),
-                    F.shiftright(y, 16 * lane).bitwiseAND(F.lit(_LANE_MASK)),
-                )
-            )
-    out = terms[0]
-    for term in terms[1:]:
-        out = out + term
-    return out
+# count-vector bound machinery (_cv_aggs/_cv_min_sum, 32-bucket lane-packed
+# longs, JIT-cliff geometry notes) is shared with the ngram jaccard join and
+# lives next to the pin registry in pipeline.dedup
+from incubator_sedona_spark.pipeline.dedup import (
+    _CV_LONGS,
+    _cv_aggs,
+    _cv_min_sum,
+    _pin,
+    _shingle_hash_rows,
+)
 
 
 def exact_jaccard_self_join(

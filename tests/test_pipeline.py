@@ -260,6 +260,10 @@ def test_no_row_data_collect_in_package():
         # ivf_build trains on a BOUNDED sample (<= sample_rows, FAISS-style);
         # assignment itself is distributed
         "pipeline/ann.py",
+        # connected_components' small-graph fast path collects the edge list
+        # ONLY after counting it at or below driver_edge_cap (default 100k);
+        # larger graphs take the distributed pointer-jumping loop
+        "pipeline/components.py",
         # hot_cells_from_ledger: top-k (<= 64) aggregated hot-cell scalars
         "plans/metrics.py",
         # snapshot commit collects ONE stats row per data file (footer-only,
