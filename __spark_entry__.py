@@ -606,9 +606,16 @@ def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(38,10)")
+    # the segment filter is ~5x selective on orders: apply it BEFORE the
+    # 6M-row lineitem join (inner joins commute, result identical) so the
+    # big join streams against the filtered keys — AQE then converts it to
+    # a broadcast join at bench scale instead of exchanging all of lineitem
+    sel = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey")
+    )
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
